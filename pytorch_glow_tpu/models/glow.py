@@ -1,0 +1,357 @@
+"""The multi-scale Glow model: init / log_prob / sample as pure functions.
+
+TPU-native redesign of the reference's FlowStep / FlowModel / Glow classes
+(reference: upstream:network/model.py; SURVEY.md §2.1 #14-#17, §3.3).  Key
+departures from the reference, by design:
+
+* No `forward(reverse=bool)` dispatch — two pure entry points sharing params:
+  `log_prob(params, x, ...)` and `sample(params, rng, ...)` (SURVEY.md §3.3).
+* The K flow steps of each level run as ONE `lax.scan` over stacked step
+  params: XLA compiles a single step body per level instead of K copies,
+  and `jax.checkpoint` on the body gives O(sqrt)-style rematerialization for
+  the paper-scale configs.
+* ActNorm data-dependent init is `ddi_init`: one jitted pass over a host
+  batch that threads activations depth-wise through the same scan and
+  returns the fully-initialized param pytree (SURVEY.md §3.4) — no mutable
+  module state, replica-consistent under pjit.
+* Layout NHWC; squeeze/split are zero-copy reshapes (ops/reshape.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_glow_tpu.config import GlowConfig
+from pytorch_glow_tpu.models import layers as L
+from pytorch_glow_tpu.ops.math import (
+    bits_per_dim,
+    discretization_correction,
+    gaussian_logp,
+    gaussian_sample,
+    num_dims,
+)
+from pytorch_glow_tpu.ops.reshape import split_channel, squeeze2d, unsqueeze2d
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _flow_step_init(rng: jax.Array, c: int, cfg: GlowConfig) -> Params:
+    r_perm, r_net = jax.random.split(rng)
+    c_half = c // 2
+    c_out = c_half if cfg.flow_coupling == "additive" else c
+    return {
+        "actnorm": L.actnorm_init(c),
+        "perm": L.permutation_init(
+            r_perm, c, cfg.flow_permutation, cfg.lu_decomposed
+        ),
+        "coupling": L.coupling_net_init(r_net, c_half, cfg.hidden_channels, c_out),
+    }
+
+
+def init_glow(rng: jax.Array, cfg: GlowConfig) -> Params:
+    """Build the full parameter pytree.
+
+    levels[i]["steps"] is a pytree whose leaves have a leading K axis —
+    the stacked per-step params consumed by `lax.scan`.
+    """
+    levels = []
+    shapes = cfg.latent_shapes()
+    for i, (_, _, c) in enumerate(shapes):
+        rng, *step_rngs = jax.random.split(rng, cfg.K + 1)
+        steps = [_flow_step_init(r, c, cfg) for r in step_rngs]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *steps)
+        split = L.split2d_init(c) if i < cfg.L - 1 else None
+        levels.append({"steps": stacked, "split": split})
+
+    _, _, c_final = shapes[-1]
+    top: Params = {}
+    if cfg.learn_top:
+        top["learn_top"] = L.conv2d_zeros_init(2 * c_final, 2 * c_final, (3, 3))
+    if cfg.y_condition:
+        top["project_ycond"] = L.linear_zeros_init(cfg.y_classes, 2 * c_final)
+        top["project_class"] = L.linear_zeros_init(c_final, cfg.y_classes)
+    return {"levels": levels, "top": top}
+
+
+# ---------------------------------------------------------------------------
+# Flow step bodies (shared by encode / decode / ddi)
+# ---------------------------------------------------------------------------
+
+
+def _step_forward(sp: Params, z: jax.Array, logdet: jax.Array, cfg: GlowConfig, ddi: bool):
+    """actnorm -> permutation -> coupling (reference FlowStep.normal_flow)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
+    z, logdet, an_new = L.actnorm_forward(
+        sp["actnorm"], z, logdet, ddi=ddi, scale=cfg.actnorm_scale
+    )
+    z, logdet = L.permutation_forward(sp["perm"], z, logdet, kind)
+    z, logdet, cp_new = L.coupling_forward(
+        sp["coupling"], z, logdet, cfg.flow_coupling, ddi=ddi, compute_dtype=dtype
+    )
+    new_sp = {"actnorm": an_new, "perm": sp["perm"], "coupling": cp_new} if ddi else None
+    return z, logdet, new_sp
+
+
+def _step_reverse(sp: Params, z: jax.Array, cfg: GlowConfig) -> jax.Array:
+    """coupling^-1 -> permutation^-1 -> actnorm^-1."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
+    z = L.coupling_reverse(sp["coupling"], z, cfg.flow_coupling, compute_dtype=dtype)
+    z = L.permutation_reverse(sp["perm"], z, kind)
+    z = L.actnorm_reverse(sp["actnorm"], z)
+    return z
+
+
+def _scan_steps_forward(steps: Params, z, logdet, cfg: GlowConfig, ddi: bool):
+    def body(carry, sp):
+        z, logdet = carry
+        z, logdet, new_sp = _step_forward(sp, z, logdet, cfg, ddi)
+        return (z, logdet), new_sp
+
+    if cfg.remat and not ddi:
+        body = jax.checkpoint(body)
+    (z, logdet), new_steps = jax.lax.scan(body, (z, logdet), steps)
+    return z, logdet, new_steps
+
+
+def _scan_steps_reverse(steps: Params, z, cfg: GlowConfig):
+    def body(z, sp):
+        return _step_reverse(sp, z, cfg), None
+
+    if cfg.remat:
+        body = jax.checkpoint(body)
+    z, _ = jax.lax.scan(body, z, steps, reverse=True)
+    return z
+
+
+# ---------------------------------------------------------------------------
+# Encode / decode through the multi-scale stack
+# ---------------------------------------------------------------------------
+
+
+def encode(
+    params: Params,
+    x: jax.Array,
+    cfg: GlowConfig,
+    logdet: jax.Array | None = None,
+    ddi: bool = False,
+):
+    """x -> (z_final, logdet, z_splits, new_level_params_or_None).
+
+    Per level: squeeze -> K steps (scan) -> split (all but last level)
+    (reference: upstream:network/model.py `FlowModel.encode`).
+    """
+    if logdet is None:
+        logdet = jnp.zeros((x.shape[0],), jnp.float32)
+    z = x
+    z_splits: list[jax.Array] = []
+    new_levels = [] if ddi else None
+    for i, level in enumerate(params["levels"]):
+        z = squeeze2d(z, 2)
+        z, logdet, new_steps = _scan_steps_forward(level["steps"], z, logdet, cfg, ddi)
+        if level["split"] is not None:
+            z, logdet, z2 = L.split2d_forward(level["split"], z, logdet)
+            z_splits.append(z2)
+        if ddi:
+            new_levels.append({"steps": new_steps, "split": level["split"]})
+    return z, logdet, z_splits, new_levels
+
+
+def decode(
+    params: Params,
+    z: jax.Array,
+    cfg: GlowConfig,
+    rng: jax.Array | None = None,
+    temperature: float | jax.Array = 1.0,
+    z_splits: list[jax.Array] | None = None,
+) -> jax.Array:
+    """z -> x.  If `z_splits` is given the reconstruction is exact; otherwise
+    each Split2d re-samples its half from the learned prior at `temperature`
+    (reference: `FlowModel.decode` with eps_std)."""
+    n_splits = cfg.L - 1
+    if z_splits is None and n_splits > 0:
+        assert rng is not None, "need rng to sample split halves"
+        split_rngs = list(jax.random.split(rng, n_splits))
+    for i in range(cfg.L - 1, -1, -1):
+        level = params["levels"][i]
+        if level["split"] is not None:
+            if z_splits is not None:
+                z = L.split2d_reverse(level["split"], z, None, z2=z_splits[i])
+            else:
+                z = L.split2d_reverse(
+                    level["split"], z, split_rngs[i], temperature=temperature
+                )
+        z = _scan_steps_reverse(level["steps"], z, cfg)
+        z = unsqueeze2d(z, 2)
+    return z
+
+
+# ---------------------------------------------------------------------------
+# Top prior (learn_top / y-conditional)
+# ---------------------------------------------------------------------------
+
+
+def top_prior(
+    params: Params,
+    cfg: GlowConfig,
+    batch: int,
+    y_onehot: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """(mean, logs) of the final-latent prior, shape (B, 1, 1, C_final).
+
+    The reference convolves a zeros tensor of full spatial extent; a zeros
+    input makes the conv output spatially constant (= scaled bias), so we
+    keep (1, 1) spatial and let broadcasting do the rest — bit-identical,
+    but no wasted HBM traffic (reference: upstream:network/model.py
+    `Glow.prior`).
+    """
+    c = cfg.final_latent_shape[-1]
+    h = jnp.zeros((batch, 1, 1, 2 * c), jnp.float32)
+    if cfg.learn_top:
+        h = L.conv2d_zeros_forward(params["top"]["learn_top"], h)
+    if cfg.y_condition:
+        assert y_onehot is not None, "y_condition model needs y_onehot"
+        yp = L.linear_zeros_forward(
+            params["top"]["project_ycond"], y_onehot.astype(jnp.float32)
+        )
+        h = h + yp[:, None, None, :]
+    return split_channel(h, "simple")  # reference uses "split" (simple) here
+
+
+# ---------------------------------------------------------------------------
+# Public API: log_prob / sample / ddi_init / loss
+# ---------------------------------------------------------------------------
+
+
+def preprocess(x_uint8: jax.Array, cfg: GlowConfig) -> jax.Array:
+    """uint8 [0,255] -> n_bits-reduced float in [0,1)."""
+    x = x_uint8.astype(jnp.float32)
+    if cfg.n_bits_x < 8:
+        x = jnp.floor(x / 2 ** (8 - cfg.n_bits_x))
+        return x / cfg.n_bins
+    return x / 256.0
+
+
+def postprocess(x: jax.Array, cfg: GlowConfig) -> jax.Array:
+    """float [0,1) -> uint8 image."""
+    x = jnp.clip(jnp.floor(x * cfg.n_bins) * (256.0 / cfg.n_bins), 0, 255)
+    return x.astype(jnp.uint8)
+
+
+def dequantize(rng: jax.Array, x: jax.Array, cfg: GlowConfig) -> jax.Array:
+    """Training-time dequantization noise on [0,1)-scaled inputs.
+
+    Default uniform U(0, 1/n_bins) (paper-correct); "gaussian" reproduces the
+    reference lineage's N(0, (1/n_bins)^2) quirk for parity experiments."""
+    if cfg.dequant == "uniform":
+        return x + jax.random.uniform(rng, x.shape, x.dtype) / cfg.n_bins
+    if cfg.dequant == "gaussian":
+        return x + jax.random.normal(rng, x.shape, x.dtype) / cfg.n_bins
+    return x
+
+
+def log_prob(
+    params: Params,
+    x: jax.Array,
+    cfg: GlowConfig,
+    rng: jax.Array | None = None,
+    y_onehot: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """Forward density: x in [0,1) -> {z, objective, nll (bits/dim), y_logits}.
+
+    objective = -D*log(n_bins) + logdet + sum_splits logp(z_i) + logp_top(z_L)
+    nll = -objective / (ln2 * D), D = C*H*W (SURVEY.md §2.4).
+    """
+    dims = num_dims((x.shape[0], *cfg.image_shape))
+    if rng is not None:
+        x = dequantize(rng, x, cfg)
+    logdet = jnp.full((x.shape[0],), discretization_correction(dims, cfg.n_bins), jnp.float32)
+    z, objective, _, _ = encode(params, x, cfg, logdet=logdet)
+    mean, logs = top_prior(params, cfg, x.shape[0], y_onehot)
+    objective = objective + gaussian_logp(mean, logs, z.astype(jnp.float32))
+    out = {
+        "z": z,
+        "objective": objective,
+        "nll": bits_per_dim(objective, dims),
+    }
+    if cfg.y_condition:
+        pooled = jnp.mean(z.astype(jnp.float32), axis=(1, 2))
+        out["y_logits"] = L.linear_zeros_forward(params["top"]["project_class"], pooled)
+    return out
+
+
+def sample(
+    params: Params,
+    rng: jax.Array,
+    cfg: GlowConfig,
+    n: int,
+    temperature: float | jax.Array = 1.0,
+    y_onehot: jax.Array | None = None,
+) -> jax.Array:
+    """Temperature sampling: z_L ~ prior -> decode (re-sampling each split).
+
+    Returns float images in [0,1) (apply `postprocess` for uint8).
+    """
+    rng_top, rng_dec = jax.random.split(rng)
+    mean, logs = top_prior(params, cfg, n, y_onehot)
+    hf, wf, cf = cfg.final_latent_shape
+    z = gaussian_sample(rng_top, mean, logs, temperature, shape=(n, hf, wf, cf))
+    return decode(params, z, cfg, rng=rng_dec, temperature=temperature)
+
+
+def reconstruct(params: Params, x: jax.Array, cfg: GlowConfig) -> jax.Array:
+    """decode(encode(x)) with stored split halves — the exact round-trip."""
+    z, _, z_splits, _ = encode(params, x, cfg)
+    return decode(params, z, cfg, z_splits=z_splits)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ddi_init(params: Params, x: jax.Array, cfg: GlowConfig) -> Params:
+    """Data-dependent actnorm init: ONE jitted depth-scan over a host batch.
+
+    Replaces the reference's first-forward mutable-state trick (SURVEY.md
+    §3.4).  `x` must already be preprocessed+dequantized.  Under pjit the
+    batch statistics reduce globally, so all replicas get identical params.
+    """
+    _, _, _, new_levels = encode(params, x, cfg, ddi=True)
+    return {"levels": new_levels, "top": params["top"]}
+
+
+def loss_fn(
+    params: Params,
+    x: jax.Array,
+    cfg: GlowConfig,
+    rng: jax.Array | None = None,
+    y_onehot: jax.Array | None = None,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Total loss = mean(nll) [+ weight_y * classification] (reference
+    `Glow.loss_generative` / `loss_multi_classes` / `loss_class`)."""
+    out = log_prob(params, x, cfg, rng=rng, y_onehot=y_onehot)
+    loss_gen = jnp.mean(out["nll"])
+    metrics = {"nll": loss_gen}
+    loss = loss_gen
+    if cfg.y_condition:
+        logits = out["y_logits"]
+        if cfg.y_multi_class:
+            # BCE-with-logits over 40 binary attributes (CelebA).
+            labels = (y_onehot > 0).astype(jnp.float32)
+            cls = jnp.mean(
+                jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+        else:
+            logp = jax.nn.log_softmax(logits)
+            cls = -jnp.mean(jnp.sum(logp * y_onehot, axis=-1))
+        metrics["loss_class"] = cls
+        loss = loss + cfg.weight_y * cls
+    metrics["loss"] = loss
+    return loss, metrics
