@@ -1,0 +1,124 @@
+"""Builder: profile -> {state, train_step, mesh, data, checkpoints}.
+
+Mirrors the reference Builder's job (upstream:network/builder.py; SURVEY.md
+§2.1 #18: model+optimizer+scheduler+devices from hparams, snapshot resume)
+in functional JAX terms: construct the mesh, optimizer, jitted step
+functions and a sharded train state; restore the latest Orbax snapshot if
+one exists, otherwise run the DDI pass on the first host batch.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pytorch_glow_tpu.config import Profile
+from pytorch_glow_tpu.data import pipeline
+from pytorch_glow_tpu.models import glow
+from pytorch_glow_tpu.parallel import mesh as meshlib
+from pytorch_glow_tpu.train import step as steplib
+from pytorch_glow_tpu.train.optim import make_optimizer
+from pytorch_glow_tpu.utils.checkpoint import CheckpointManager
+
+
+@dataclass
+class Built:
+    profile: Profile
+    mesh: Any
+    tx: optax.GradientTransformation
+    state: dict
+    train_step: Callable
+    eval_step: Callable
+    sample_fn: Callable
+    reconstruct_fn: Callable
+    data: Iterator | None
+    ckpt: CheckpointManager | None
+    start_step: int = 0
+    resumed: bool = False
+    extras: dict = field(default_factory=dict)
+
+
+def _labels_to_onehot(batch: dict, profile: Profile):
+    g = profile.glow
+    if not g.y_condition:
+        return None
+    if "attr" in batch:  # CelebA ±1 attributes -> {0,1}
+        return (jnp.asarray(batch["attr"]) > 0).astype(jnp.float32)
+    if "label" in batch:
+        return jax.nn.one_hot(jnp.asarray(batch["label"]), g.y_classes)
+    return jnp.zeros((batch["image"].shape[0], g.y_classes), jnp.float32)
+
+
+def build(
+    profile: Profile,
+    training: bool = True,
+    with_data: bool = True,
+    devices: list | None = None,
+) -> Built:
+    g, t = profile.glow, profile.train
+    mesh = meshlib.make_mesh(profile.mesh, devices)
+    tx = make_optimizer(profile.optim, t)
+
+    state = steplib.init_state(jax.random.key(t.seed), g, tx)
+    # Place everything on the mesh: params/opt_state with their GSPMD
+    # shardings (replicated or TP), step/rng fully replicated — mixing
+    # mesh-sharded and single-device arrays in one jit is an error.
+    state["params"] = meshlib.shard_params(mesh, state["params"])
+    state["opt_state"] = jax.device_put(
+        state["opt_state"], meshlib.param_shardings(mesh, state["opt_state"])
+    )
+    rep = meshlib.replicated(mesh)
+    state["step"] = jax.device_put(state["step"], rep)
+    state["rng"] = jax.device_put(state["rng"], rep)
+
+    train_step = steplib.make_train_step(g, tx)
+    eval_step = steplib.make_eval_step(g)
+    sample_fn = steplib.make_sample_fn(g, t.num_sample_images, t.sample_temperature)
+    reconstruct_fn = steplib.make_reconstruct_fn(g)
+
+    data = None
+    if with_data:
+        raw = pipeline.make_dataset(profile.data, g, t)
+        data = pipeline.device_prefetch(
+            raw, sharding=meshlib.batch_sharding(mesh), size=profile.data.prefetch
+        )
+
+    ckpt = None
+    start_step = 0
+    resumed = False
+    out_dir = os.path.join(profile.out_dir, profile.name)
+    ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"), keep=t.keep_checkpoints)
+    latest = ckpt.latest_step()
+    if latest is not None:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            start_step = int(state["step"])
+            resumed = True
+    elif training and data is not None:
+        # Data-dependent actnorm init on the first host batch (one jitted
+        # depth-scan; replaces the reference's first-forward side effect).
+        first = next(data)
+        x = glow.preprocess(jnp.asarray(first["image"]), g)
+        x = glow.dequantize(jax.random.key(t.seed + 1), x, g)
+        state["params"] = glow.ddi_init(state["params"], x, g)
+
+    return Built(
+        profile=profile,
+        mesh=mesh,
+        tx=tx,
+        state=state,
+        train_step=train_step,
+        eval_step=eval_step,
+        sample_fn=sample_fn,
+        reconstruct_fn=reconstruct_fn,
+        data=data,
+        ckpt=ckpt,
+        start_step=start_step,
+        resumed=resumed,
+    )

@@ -1,0 +1,100 @@
+"""Train/eval step construction: pure jitted functions over a state pytree.
+
+Replaces the reference Trainer's in-place loop body (loss.backward(),
+clip, optimizer.step(); SURVEY.md §2.1 #19) with a donated, jit-compiled
+`state -> state` function.  Per-step randomness derives from
+`fold_in(state_rng, step)` so training is deterministic and resume-stable
+(the reference uses the global torch RNG; SURVEY.md §7 "Sampling RNG").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pytorch_glow_tpu.config import GlowConfig
+from pytorch_glow_tpu.models import glow
+from pytorch_glow_tpu.utils.tree import merge, partition
+
+State = dict[str, Any]
+
+
+def init_state(
+    rng: jax.Array, cfg: GlowConfig, tx: optax.GradientTransformation
+) -> State:
+    """Fresh training state (params still need `ddi_init` on a host batch)."""
+    rng_init, rng_train = jax.random.split(rng)
+    params = glow.init_glow(rng_init, cfg)
+    trainable, _ = partition(params)
+    return {
+        "step": jnp.zeros((), jnp.int32),
+        "params": params,
+        "opt_state": tx.init(trainable),
+        "rng": rng_train,
+    }
+
+
+def make_train_step(cfg: GlowConfig, tx: optax.GradientTransformation):
+    """Returns jitted (state, image_batch[, y_onehot]) -> (state, metrics)."""
+
+    def train_step(state: State, batch: jax.Array, y_onehot=None):
+        if batch.dtype == jnp.uint8:  # ship uint8 over PCIe, preprocess on-device
+            batch = glow.preprocess(batch, cfg)
+        rng = jax.random.fold_in(state["rng"], state["step"])
+        trainable, frozen = partition(state["params"])
+
+        def loss_on_trainable(tr):
+            return glow.loss_fn(
+                merge(tr, frozen), batch, cfg, rng=rng, y_onehot=y_onehot
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_on_trainable, has_aux=True
+        )(trainable)
+        updates, opt_state = tx.update(grads, state["opt_state"], trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = {
+            "step": state["step"] + 1,
+            "params": merge(trainable, frozen),
+            "opt_state": opt_state,
+            "rng": state["rng"],
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: GlowConfig):
+    """Deterministic NLL (no dequantization noise)."""
+
+    def eval_step(params, batch: jax.Array, y_onehot=None):
+        if batch.dtype == jnp.uint8:
+            batch = glow.preprocess(batch, cfg)
+        out = glow.log_prob(params, batch, cfg, rng=None, y_onehot=y_onehot)
+        return {"nll": jnp.mean(out["nll"])}
+
+    return jax.jit(eval_step)
+
+
+def make_sample_fn(cfg: GlowConfig, n: int, temperature: float):
+    @functools.partial(jax.jit, static_argnames=())
+    def sample_fn(params, rng, y_onehot=None):
+        imgs = glow.sample(params, rng, cfg, n=n, temperature=temperature, y_onehot=y_onehot)
+        return glow.postprocess(imgs, cfg)
+
+    return sample_fn
+
+
+def make_reconstruct_fn(cfg: GlowConfig):
+    @jax.jit
+    def rec_fn(params, batch):
+        if batch.dtype == jnp.uint8:
+            batch = glow.preprocess(batch, cfg)
+        return glow.postprocess(glow.reconstruct(params, batch, cfg), cfg)
+
+    return rec_fn

@@ -1,0 +1,78 @@
+"""Trainer: the step loop with logging, sampling grids, and checkpoints.
+
+Reference behavior (upstream:network/trainer.py; SURVEY.md §2.1 #19):
+epoch/step loop, actnorm warm-up on first batch (done in Builder here),
+loss backward + clip (inside the jitted step here), scalar logs every
+`scalar_log_gap`, sample/reconstruction grids every `plot_gap`, snapshot
+every `checkpoint_gap`.  TPU-native differences: the loop is step-based
+(infinite host iterator), the device never syncs except at log boundaries,
+and all heavy work lives in one donated jit.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from pytorch_glow_tpu.train.builder import Built, _labels_to_onehot
+from pytorch_glow_tpu.utils.image import save_image_grid
+from pytorch_glow_tpu.utils.metrics import MetricLogger
+
+
+def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> dict:
+    p = built.profile
+    t = p.train
+    num_steps = num_steps if num_steps is not None else t.num_steps
+    out_dir = os.path.join(p.out_dir, p.name)
+    logger = MetricLogger(out_dir, t.batch_size, quiet=quiet)
+
+    state = built.state
+    step = built.start_step
+    last_metrics: dict = {}
+    t_start = time.perf_counter()
+
+    try:
+        while step < num_steps:
+            batch = next(built.data)
+            y = _labels_to_onehot(batch, p)
+            state, metrics = built.train_step(state, batch["image"], y)
+            step += 1
+            logger.throughput.update()
+
+            if step % t.scalar_log_gap == 0 or step == num_steps:
+                host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                host["images_per_sec"] = logger.throughput.rate_and_reset()
+                logger.scalars(step, host)
+                last_metrics = host
+                if not np.isfinite(host["loss"]):
+                    raise FloatingPointError(f"non-finite loss at step {step}: {host}")
+
+            if t.plot_gap and step % t.plot_gap == 0:
+                rng = jax.random.fold_in(jax.random.key(t.seed + 2), step)
+                y_s = None if y is None else y[: t.num_sample_images]
+                samples = np.asarray(built.sample_fn(state["params"], rng, y_s))
+                save_image_grid(
+                    os.path.join(out_dir, "samples", f"step_{step:08d}.png"), samples
+                )
+                recon = np.asarray(
+                    built.reconstruct_fn(
+                        state["params"], batch["image"][: t.num_sample_images]
+                    )
+                )
+                save_image_grid(
+                    os.path.join(out_dir, "recon", f"step_{step:08d}.png"), recon
+                )
+
+            if built.ckpt is not None and t.checkpoint_gap and step % t.checkpoint_gap == 0:
+                built.ckpt.save(step, state)
+    finally:
+        if built.ckpt is not None:
+            built.ckpt.save(step, state, wait=True)
+        logger.close()
+
+    built.state = state
+    wall = time.perf_counter() - t_start
+    return {"final_step": step, "wall_s": wall, **last_metrics}

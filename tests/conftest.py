@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The machine's axon boot hook (sitecustomize) force-selects the TPU platform
+# via jax.config.update("jax_platforms", "axon,cpu"), which beats the env var
+# — override it back to CPU for the test session.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402

@@ -1,0 +1,131 @@
+"""GSPMD tests on the fake 8-CPU-device mesh (SURVEY.md §4, §7 step 6).
+
+Covers: pure DP (batch over "data"), DP x TP (coupling hidden channels over
+"model"), replica-consistent DDI, and numerical equivalence of sharded vs
+single-device training steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_glow_tpu.config import (
+    DataConfig,
+    GlowConfig,
+    MeshConfig,
+    OptimConfig,
+    Profile,
+    TrainConfig,
+)
+from pytorch_glow_tpu.models import glow
+from pytorch_glow_tpu.parallel import mesh as meshlib
+from pytorch_glow_tpu.train import builder as builderlib
+from pytorch_glow_tpu.train import step as steplib
+from pytorch_glow_tpu.train.optim import make_optimizer
+
+CFG = GlowConfig(image_shape=(8, 8, 3), hidden_channels=16, K=2, L=2)
+TRAIN = TrainConfig(batch_size=16, seed=0)
+OPTIM = OptimConfig(lr=1e-3, warmup_steps=10)
+
+
+def test_mesh_shapes(eight_devices):
+    m = meshlib.make_mesh(MeshConfig(data=-1, model=1))
+    assert m.shape == {"data": 8, "model": 1}
+    m2 = meshlib.make_mesh(MeshConfig(data=4, model=2))
+    assert m2.shape == {"data": 4, "model": 2}
+
+
+def _build_sharded(mesh_cfg: MeshConfig):
+    mesh = meshlib.make_mesh(mesh_cfg)
+    tx = make_optimizer(OPTIM, TRAIN)
+    state = steplib.init_state(jax.random.key(0), CFG, tx)
+    state["params"] = meshlib.shard_params(mesh, state["params"])
+    state["opt_state"] = jax.device_put(
+        state["opt_state"], meshlib.param_shardings(mesh, state["opt_state"])
+    )
+    return mesh, tx, state
+
+
+def _batch(mesh):
+    x = jax.random.uniform(jax.random.key(1), (16, 8, 8, 3))
+    return jax.device_put(x, meshlib.batch_sharding(mesh))
+
+
+@pytest.mark.parametrize("mesh_cfg", [MeshConfig(data=8, model=1), MeshConfig(data=4, model=2)])
+def test_sharded_train_step_runs(eight_devices, mesh_cfg):
+    mesh, tx, state = _build_sharded(mesh_cfg)
+    x = _batch(mesh)
+    state["params"] = glow.ddi_init(state["params"], x, CFG)
+    train_step = steplib.make_train_step(CFG, tx)
+    state, metrics = train_step(state, x)
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics = train_step(state, x)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_tp_actually_shards_hidden_channels(eight_devices):
+    mesh = meshlib.make_mesh(MeshConfig(data=4, model=2))
+    params = glow.init_glow(jax.random.key(0), CFG)
+    sharded = meshlib.shard_params(mesh, params)
+    w1 = sharded["levels"][0]["steps"]["coupling"]["conv1"]["w"]
+    # (K,3,3,Cin,hidden) sharded on the hidden axis over "model"=2.
+    shard_shapes = {s.data.shape for s in w1.addressable_shards}
+    assert all(s[-1] == w1.shape[-1] // 2 for s in shard_shapes), shard_shapes
+    # Row-parallel conv2 shards its input-channel axis.
+    w2 = sharded["levels"][0]["steps"]["coupling"]["conv2"]["w"]
+    assert all(
+        s.data.shape[-2] == w2.shape[-2] // 2 for s in w2.addressable_shards
+    )
+
+
+def test_ddi_replica_consistent(eight_devices):
+    """DDI on a sharded batch must equal DDI on the same unsharded batch."""
+    mesh = meshlib.make_mesh(MeshConfig(data=8, model=1))
+    params = glow.init_glow(jax.random.key(0), CFG)
+    x = jax.random.uniform(jax.random.key(2), (16, 8, 8, 3))
+
+    p_local = glow.ddi_init(params, x, CFG)
+    p_shard = glow.ddi_init(
+        meshlib.shard_params(mesh, params),
+        jax.device_put(x, meshlib.batch_sharding(mesh)),
+        CFG,
+    )
+    a = p_local["levels"][0]["steps"]["actnorm"]["logs"]
+    b = jax.device_get(p_shard["levels"][0]["steps"]["actnorm"]["logs"])
+    np.testing.assert_allclose(np.asarray(a), b, atol=1e-5)
+
+
+def test_sharded_loss_matches_single_device(eight_devices):
+    """Same params+batch => DP-sharded loss == single-device loss."""
+    mesh = meshlib.make_mesh(MeshConfig(data=8, model=1))
+    params = glow.init_glow(jax.random.key(0), CFG)
+    x = jax.random.uniform(jax.random.key(3), (16, 8, 8, 3))
+    params = glow.ddi_init(params, x, CFG)
+
+    out_local = glow.log_prob(params, x, CFG)
+    out_shard = glow.log_prob(
+        meshlib.shard_params(mesh, params),
+        jax.device_put(x, meshlib.batch_sharding(mesh)),
+        CFG,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_local["nll"]), jax.device_get(out_shard["nll"]), rtol=2e-4
+    )
+
+
+def test_builder_on_mesh(eight_devices, tmp_path):
+    p = Profile(
+        name="mesh-micro",
+        glow=CFG,
+        optim=OPTIM,
+        train=TrainConfig(batch_size=16, num_steps=5, scalar_log_gap=5,
+                          plot_gap=0, checkpoint_gap=0),
+        data=DataConfig(name="synthetic"),
+        mesh=MeshConfig(data=4, model=2),
+        out_dir=str(tmp_path),
+    )
+    built = builderlib.build(p)
+    batch = next(built.data)
+    state, metrics = built.train_step(built.state, batch["image"], None)
+    assert np.isfinite(float(metrics["loss"]))

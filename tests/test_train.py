@@ -1,0 +1,95 @@
+"""End-to-end training slice tests: loss goes down, checkpoints resume,
+profiles load (SURVEY.md §7 step 4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pytorch_glow_tpu.config import (
+    DataConfig,
+    GlowConfig,
+    OptimConfig,
+    Profile,
+    TrainConfig,
+)
+from pytorch_glow_tpu.train import builder as builderlib
+from pytorch_glow_tpu.train import trainer as trainerlib
+from pytorch_glow_tpu.utils.profiles import load_profile, profile_from_dict, save_profile
+
+
+def micro_profile(tmp_path, **glow_kw) -> Profile:
+    return Profile(
+        name="micro",
+        glow=GlowConfig(image_shape=(8, 8, 3), hidden_channels=16, K=2, L=2, **glow_kw),
+        optim=OptimConfig(lr=1e-3, warmup_steps=10),
+        train=TrainConfig(
+            batch_size=16,
+            num_steps=30,
+            scalar_log_gap=10,
+            plot_gap=0,
+            checkpoint_gap=10,
+            num_sample_images=4,
+            seed=0,
+        ),
+        data=DataConfig(name="synthetic"),
+        out_dir=str(tmp_path),
+    )
+
+
+def test_train_loss_decreases_and_resumes(tmp_path):
+    p = micro_profile(tmp_path)
+    built = builderlib.build(p)
+    assert not built.resumed
+    result = trainerlib.train(built, quiet=True)
+    assert result["final_step"] == 30
+    assert np.isfinite(result["loss"])
+    # Synthetic uniform-noise images: a flow should quickly approach the
+    # ~8 bits/dim entropy of uniform data from a worse init.
+    assert result["nll"] < 12.0
+
+    # Resume: a fresh build must restore step 30 from orbax.
+    built2 = builderlib.build(p)
+    assert built2.resumed and built2.start_step == 30
+    result2 = trainerlib.train(built2, num_steps=35, quiet=True)
+    assert result2["final_step"] == 35
+
+
+def test_train_nll_improves_from_init(tmp_path):
+    p = micro_profile(tmp_path)
+    built = builderlib.build(p)
+    batch = next(built.data)
+    m0 = built.eval_step(built.state["params"], batch["image"])
+    nll0 = float(m0["nll"])
+    trainerlib.train(built, num_steps=25, quiet=True)
+    m1 = built.eval_step(built.state["params"], batch["image"])
+    assert float(m1["nll"]) < nll0
+
+
+def test_profile_json_roundtrip(tmp_path):
+    p = micro_profile(tmp_path)
+    path = os.path.join(tmp_path, "p.json")
+    save_profile(path, p)
+    p2 = load_profile(path)
+    assert p2.glow == p.glow and p2.train == p.train and p2.optim == p.optim
+
+
+def test_profile_preset_with_overrides():
+    p = profile_from_dict({"preset": "tiny-cifar10", "train": {"batch_size": 32}})
+    assert p.glow.K == 8 and p.train.batch_size == 32
+
+
+def test_profile_unknown_key_raises():
+    with pytest.raises(KeyError):
+        profile_from_dict({"glow": {"bogus_key": 1}})
+
+
+def test_profile_files_on_disk():
+    """Every shipped profiles/*.json must parse."""
+    root = os.path.join(os.path.dirname(__file__), "..", "profiles")
+    files = [f for f in os.listdir(root) if f.endswith(".json")]
+    assert files, "no profiles shipped"
+    for f in files:
+        prof = load_profile(os.path.join(root, f))
+        assert prof.glow.K > 0
