@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Inference CLI: sampling, reconstruction, attribute manipulation.
+
+Reference CLI surface (upstream:infer.py; SURVEY.md §2.1 #2): operations on
+a trained snapshot, parameterized by the training profile.
+
+Usage:
+  python infer.py sample    <profile> -n 16 --temperature 0.7 -o samples.png
+  python infer.py recon     <profile> --data-root ... -o recon.png
+  python infer.py delta     <profile> --data-root ... -o delta.npz [--batches 50]
+  python infer.py manipulate <profile> --delta delta.npz --attr 31 \\
+                             --strength 1.5 --data-root ... -o manip.png
+  python infer.py interpolate <profile> --data-root ... -o interp.png
+  python infer.py nll       <profile> --data-root ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import itertools
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("op", choices=["sample", "recon", "delta", "manipulate", "interpolate", "nll"])
+    p.add_argument("profile")
+    p.add_argument("-n", "--num", type=int, default=16)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--delta", default=None, help="path to attribute-delta .npz")
+    p.add_argument("--attr", type=int, default=0, help="attribute index")
+    p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--batches", type=int, default=50, help="batches for delta/nll")
+    p.add_argument("--steps", type=int, default=8, help="interpolation steps")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default=None, help="training out-dir (to locate checkpoints)")
+    p.add_argument("-o", "--output", default="infer_out.png")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    import train as train_cli
+    from pytorch_glow_tpu.inference import Inferer
+    from pytorch_glow_tpu.train.builder import build
+    from pytorch_glow_tpu.utils.image import save_image_grid
+
+    ns = argparse.Namespace(
+        profile=args.profile, data_root=args.data_root, steps=None, batch_size=None,
+        out_dir=args.out_dir, synthetic=args.synthetic, seed=None, quiet=True,
+    )
+    prof = train_cli.resolve_profile(ns)
+    built = build(prof, training=False, with_data=args.op != "sample")
+    if not built.resumed:
+        print("[infer] warning: no checkpoint found — using fresh (DDI-less) params",
+              file=sys.stderr)
+    inferer = Inferer(built.state["params"], prof.glow)
+    rng = jax.random.key(args.seed)
+
+    if args.op == "sample":
+        imgs = inferer.sample(args.num, temperature=args.temperature, rng=rng)
+        save_image_grid(args.output, imgs)
+        print(f"wrote {args.output} ({args.num} samples @ T={args.temperature})")
+        return
+
+    batch = next(built.data)
+    if args.op == "recon":
+        imgs = np.asarray(batch["image"])[: args.num]
+        rec = inferer.reconstruct(imgs)
+        interleaved = np.stack([imgs, rec], 1).reshape(-1, *imgs.shape[1:])
+        save_image_grid(args.output, interleaved, ncol=2)
+        err = np.abs(imgs.astype(np.float32) - rec.astype(np.float32)).max()
+        print(f"wrote {args.output}; max |x - rec| = {err}")
+        return
+
+    if args.op == "delta":
+        if "attr" not in batch:
+            sys.exit("error: delta requires a dataset with attributes (CelebA)")
+        it = itertools.chain([batch], built.data)
+        delta = inferer.compute_attribute_delta(it, num_batches=args.batches)
+        Inferer.save_attribute_delta(args.output, delta)
+        print(f"wrote {args.output} (delta shape {delta.shape})")
+        return
+
+    if args.op == "manipulate":
+        if not args.delta or not os.path.isfile(args.delta):
+            sys.exit("error: --delta <file.npz> required (run `infer.py delta` first)")
+        delta = Inferer.load_attribute_delta(args.delta)
+        imgs = np.asarray(batch["image"])[: args.num]
+        out = inferer.manipulate(imgs, delta, args.attr, args.strength)
+        interleaved = np.stack([imgs, out], 1).reshape(-1, *imgs.shape[1:])
+        save_image_grid(args.output, interleaved, ncol=2)
+        print(f"wrote {args.output} (attr {args.attr}, strength {args.strength})")
+        return
+
+    if args.op == "interpolate":
+        imgs = np.asarray(batch["image"])
+        out = inferer.interpolate(imgs[0], imgs[1], steps=args.steps)
+        save_image_grid(args.output, out, ncol=args.steps)
+        print(f"wrote {args.output}")
+        return
+
+    if args.op == "nll":
+        total, count = 0.0, 0
+        it = itertools.chain([batch], built.data)
+        for b in itertools.islice(it, args.batches):
+            nll = inferer.nll(np.asarray(b["image"]))
+            total += float(nll.sum())
+            count += nll.shape[0]
+        print(f"nll: {total / count:.4f} bits/dim over {count} images")
+        return
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Train a TPU-native Glow model.
+
+Reference CLI surface (upstream:train.py; SURVEY.md §2.1 #1): a profile
+(JSON path or preset name) plus dataset/dir overrides.
+
+Usage:
+  python train.py cifar10 --data-root /data/cifar10
+  python train.py profiles/celeba64.json --steps 100000 --out-dir results
+  python train.py tiny-cifar10 --synthetic --steps 500
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("profile", help="profile JSON path or preset name "
+                                   "(tiny-cifar10|cifar10|celeba64|imagenet64-cond|celebahq256)")
+    p.add_argument("--data-root", default=None, help="dataset root directory")
+    p.add_argument("--steps", type=int, default=None, help="override Train.num_steps")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--out-dir", default=None, help="override output directory")
+    p.add_argument("--synthetic", action="store_true", help="force synthetic data")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+def resolve_profile(args):
+    from pytorch_glow_tpu.config import PRESETS
+    from pytorch_glow_tpu.utils.profiles import load_profile
+
+    if os.path.isfile(args.profile):
+        prof = load_profile(args.profile)
+    elif args.profile in PRESETS:
+        prof = PRESETS[args.profile]
+    else:
+        sys.exit(f"error: profile '{args.profile}' is neither a file nor a preset "
+                 f"(presets: {', '.join(PRESETS)})")
+
+    train_over = {}
+    if args.steps is not None:
+        train_over["num_steps"] = args.steps
+    if args.batch_size is not None:
+        train_over["batch_size"] = args.batch_size
+    if args.seed is not None:
+        train_over["seed"] = args.seed
+    if train_over:
+        prof = prof.replace(train=dataclasses.replace(prof.train, **train_over))
+    data_over = {}
+    if args.data_root is not None:
+        data_over["root"] = args.data_root
+    if args.synthetic:
+        data_over["name"] = "synthetic"
+    if data_over:
+        prof = prof.replace(data=dataclasses.replace(prof.data, **data_over))
+    if args.out_dir is not None:
+        prof = prof.replace(out_dir=args.out_dir)
+    return prof
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    prof = resolve_profile(args)
+    from pytorch_glow_tpu.train.builder import build
+    from pytorch_glow_tpu.train.trainer import train
+
+    built = build(prof)
+    if built.resumed:
+        print(f"[train] resumed from step {built.start_step}")
+    result = train(built, quiet=args.quiet)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
