@@ -83,6 +83,10 @@ class TrainConfig:
     seed: int = 0
     num_sample_images: int = 16
     sample_temperature: float = 0.7
+    # Observability / debugging (SURVEY.md §5; no reference counterpart):
+    profile_step: int = 0  # start a jax.profiler trace at this step (0 = off)
+    profile_num_steps: int = 3
+    debug_nans: bool = False  # jax_debug_nans for debug runs
 
 
 @dataclass(frozen=True)

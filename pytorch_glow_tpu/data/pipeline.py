@@ -40,14 +40,30 @@ def synthetic_batches(
     image_shape: tuple[int, int, int],
     y_classes: int | None = None,
     seed: int = 0,
+    smooth: bool = False,
 ) -> Iterator[Batch]:
-    """Deterministic random uint8 batches; infinite."""
+    """Deterministic random uint8 batches; infinite.
+
+    smooth=False: uniform noise (incompressible; NLL floor = 8 bits/dim —
+    useful for throughput/smoke runs).
+    smooth=True: per-image color gradients + low noise (highly compressible —
+    a flow must drive bits/dim well below 8, used for learning-regression
+    tests)."""
     rng = np.random.default_rng(seed)
     h, w, c = image_shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    yy, xx = yy / max(1, h - 1), xx / max(1, w - 1)
     while True:
-        batch: Batch = {
-            "image": rng.integers(0, 256, size=(batch_size, h, w, c), dtype=np.uint8)
-        }
+        if smooth:
+            base = rng.uniform(0, 255, size=(batch_size, 1, 1, c)).astype(np.float32)
+            gy = rng.uniform(-80, 80, size=(batch_size, 1, 1, c)).astype(np.float32)
+            gx = rng.uniform(-80, 80, size=(batch_size, 1, 1, c)).astype(np.float32)
+            img = base + gy * yy[None, :, :, None] + gx * xx[None, :, :, None]
+            img += rng.normal(0, 2.0, size=img.shape).astype(np.float32)
+            image = np.clip(img, 0, 255).astype(np.uint8)
+        else:
+            image = rng.integers(0, 256, size=(batch_size, h, w, c), dtype=np.uint8)
+        batch: Batch = {"image": image}
         if y_classes:
             batch["label"] = rng.integers(0, y_classes, size=(batch_size,))
         yield batch
@@ -110,6 +126,35 @@ def array_batches(
 
 
 # ---------------------------------------------------------------------------
+# Downsampled ImageNet (npz shards: train_data_batch_*.npz / val_data.npz)
+# ---------------------------------------------------------------------------
+
+
+def load_imagenet_npz(
+    root: str, size: int, split: str = "train"
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Standard downsampled-ImageNet npz format: 'data' (N, size*size*3)
+    row-major CHW-flattened uint8 + 'labels' (1-based)."""
+    import glob as globlib
+
+    pattern = (
+        os.path.join(root, "train_data_batch_*.npz")
+        if split == "train"
+        else os.path.join(root, "val_data*.npz")
+    )
+    files = sorted(globlib.glob(pattern))
+    if not files:
+        return None
+    imgs, labels = [], []
+    for f in files:
+        d = np.load(f)
+        x = d["data"].reshape(-1, 3, size, size).transpose(0, 2, 3, 1)
+        imgs.append(x.astype(np.uint8))
+        labels.append(np.asarray(d["labels"]) - 1)
+    return np.concatenate(imgs), np.concatenate(labels)
+
+
+# ---------------------------------------------------------------------------
 # Dataset dispatch
 # ---------------------------------------------------------------------------
 
@@ -123,13 +168,18 @@ def make_dataset(
     """Build the host iterator for a profile; falls back to synthetic with a
     warning when the real dataset is not on disk (offline environments)."""
     bs = train_cfg.batch_size
-    if data_cfg.name == "synthetic":
+    if data_cfg.name in ("synthetic", "synthetic_smooth"):
         return synthetic_batches(
             bs,
             glow_cfg.image_shape,
             glow_cfg.y_classes if glow_cfg.y_condition else None,
             seed=train_cfg.seed,
+            smooth=data_cfg.name == "synthetic_smooth",
         )
+    if data_cfg.name == "imagenet64":
+        loaded = load_imagenet_npz(data_cfg.root, data_cfg.image_size, split)
+        if loaded is not None:
+            return array_batches(*loaded, bs, seed=train_cfg.seed, shuffle=split == "train")
     if data_cfg.name == "cifar10":
         loaded = load_cifar10(data_cfg.root, split)
         if loaded is not None:

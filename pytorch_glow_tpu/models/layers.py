@@ -198,12 +198,20 @@ def permutation_init(
 
 
 def permutation_forward(
-    params: Params, x: jax.Array, logdet: jax.Array | None, kind: str
+    params: Params, x: jax.Array, logdet: jax.Array | None, kind: str,
+    impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array | None]:
     pixels = x.shape[1] * x.shape[2]
     if kind == "fixed":
         return x[..., params["idx"]], logdet
     if kind == "lu":
+        if impl == "pallas":
+            from pytorch_glow_tpu.ops import invconv_pallas as icp
+
+            y, ld = icp.invconv_lu_forward(x, params["lu"])
+            if logdet is not None:
+                logdet = logdet + pixels * ld
+            return y, logdet
         w = ic.lu_assemble(params["lu"])
         y = ic.mix_channels(x, w).astype(x.dtype)
         if logdet is not None:
@@ -217,10 +225,16 @@ def permutation_forward(
     return y, logdet
 
 
-def permutation_reverse(params: Params, z: jax.Array, kind: str) -> jax.Array:
+def permutation_reverse(
+    params: Params, z: jax.Array, kind: str, impl: str = "xla"
+) -> jax.Array:
     if kind == "fixed":
         return z[..., params["inv_idx"]]
     if kind == "lu":
+        if impl == "pallas":
+            from pytorch_glow_tpu.ops import invconv_pallas as icp
+
+            return icp.invconv_lu_reverse(z, params["lu"])
         w_inv = ic.lu_inverse(params["lu"])
         return ic.mix_channels(z, w_inv).astype(z.dtype)
     w_inv = jnp.linalg.inv(params["w"])

@@ -1,0 +1,195 @@
+"""Pallas TPU kernel: LU-parameterized invertible 1x1 conv, fused.
+
+North-star requirement (BASELINE.json): fuse the LU weight reconstruction
+W = P @ L @ (U + diag(sign_s * e^{log_s})) with the (B*H*W, C) x (C, C)
+channel-mixing matmul and the sum(log_s) logdet term into one kernel.
+
+Kernel strategy (see /opt/skills/guides/pallas_guide.md):
+* Grid over row-tiles of the flattened pixel batch (TILE_N x C blocks in
+  VMEM); C stays whole (<= a few hundred channels for all Glow configs).
+* Grid steps execute sequentially on a TPU core and VMEM scratch persists
+  across them, so W is reconstructed ONCE in step 0 into scratch — tril/triu
+  masks from broadcasted_iota, the small L @ U' matmul, and the P row
+  permutation as a dense P-matrix matmul (MXU-friendly; no in-kernel
+  gather) — then every tile reuses it.
+* The per-pixel logdet (sum log_s) is emitted once into SMEM; the caller
+  scales by H*W.
+* All matmuls run f32 with preferred_element_type=f32 (parity with the
+  XLA path's HIGHEST precision; the logdet feeds the NLL).
+
+The reverse direction reconstructs W^{-1} via two CxC triangular solves in
+XLA (cheap, done once) and reuses the same tiled-matmul kernel for the
+pixel batch.  Gradients route through jax.custom_vjp to the XLA reference
+implementation (ops/invconv_xla.py) — identical math, so the kernel is a
+pure forward-speed play and falls back bit-compatibly.
+
+On non-TPU backends the kernel runs in interpret mode (tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pytorch_glow_tpu.ops import invconv_xla as ic
+
+TILE_N = 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Fused forward kernel: W <- P L U' (once), y_tile = x_tile @ W^T, logdet
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(l_ref, u_ref, s_ref, sign_ref, pmat_ref, x_ref, y_ref, ld_ref, w_scratch):
+    c = l_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _build_w():
+        row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+        eye = (row == col).astype(jnp.float32)
+        l = jnp.where(row > col, l_ref[:], 0.0) + eye
+        s = sign_ref[0, :] * jnp.exp(s_ref[0, :])
+        u = jnp.where(row < col, u_ref[:], 0.0) + eye * s[None, :]
+        lu = jnp.dot(l, u, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        # Row permutation as a dense matmul: W = P @ (L @ U').
+        w_scratch[:] = jnp.dot(pmat_ref[:], lu, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+        ld_ref[0, 0] = jnp.sum(s_ref[0, :])
+
+    # y = x @ W^T for this row-tile.
+    y_ref[:] = jax.lax.dot_general(
+        x_ref[:],
+        w_scratch[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _mix_rows_fused(x2d: jax.Array, lu: ic.LUParams) -> tuple[jax.Array, jax.Array]:
+    """(N, C) f32 -> (y (N, C), per-pixel logdet scalar)."""
+    n, c = x2d.shape
+    pmat = jax.nn.one_hot(lu.p_idx, c, dtype=jnp.float32)  # W = P @ LU'
+    grid = (pl.cdiv(n, TILE_N),)
+    y, ld = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((c, c), jnp.float32)],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * c * c + 2 * c * c * c,
+            bytes_accessed=4 * (2 * n * c + 4 * c * c),
+            transcendentals=c,
+        ),
+    )(lu.l_raw, lu.u_raw, lu.log_s[None, :], lu.sign_s[None, :], pmat, x2d)
+    return y, ld[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Plain tiled matmul kernel (reverse path: W^-1 precomputed in XLA)
+# ---------------------------------------------------------------------------
+
+
+def _matmul_kernel(w_ref, x_ref, y_ref):
+    y_ref[:] = jax.lax.dot_general(
+        x_ref[:],
+        w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _mix_rows_plain(x2d: jax.Array, w: jax.Array) -> jax.Array:
+    """(N, C) @ W^T via the same tiling (used for the inverse direction)."""
+    n, c = x2d.shape
+    grid = (pl.cdiv(n, TILE_N),)
+    return pl.pallas_call(
+        _matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c), jnp.float32),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * c * c, bytes_accessed=4 * (2 * n * c + c * c), transcendentals=0
+        ),
+    )(w, x2d)
+
+
+# ---------------------------------------------------------------------------
+# Public entry points (shape-polymorphic over (..., C); custom VJP to XLA)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def invconv_lu_forward(x: jax.Array, lu: ic.LUParams) -> tuple[jax.Array, jax.Array]:
+    """y[..., :] = W @ x[..., :]; returns (y, per-pixel logdet scalar)."""
+    shape = x.shape
+    x2d = x.astype(jnp.float32).reshape(-1, shape[-1])
+    y, ld = _mix_rows_fused(x2d, lu)
+    return y.reshape(shape).astype(x.dtype), ld
+
+
+def _xla_fwd(x, lu):
+    w = ic.lu_assemble(lu)
+    return ic.mix_channels(x, w).astype(x.dtype), ic.lu_logdet(lu)
+
+
+def _fwd_rule(x, lu):
+    out = invconv_lu_forward(x, lu)
+    return out, (x, lu)
+
+
+def _bwd_rule(res, g):
+    x, lu = res
+    # Differentiate the mathematically-identical XLA path.
+    _, vjp = jax.vjp(_xla_fwd, x, lu)
+    return vjp(g)
+
+
+invconv_lu_forward.defvjp(_fwd_rule, _bwd_rule)
+
+
+def invconv_lu_reverse(y: jax.Array, lu: ic.LUParams) -> jax.Array:
+    """x = W^{-1} y: CxC inverse via XLA triangular solves (once), pixel
+    matmul via the Pallas tile kernel."""
+    w_inv = ic.lu_inverse(lu)
+    shape = y.shape
+    y2d = y.astype(jnp.float32).reshape(-1, shape[-1])
+    x = _mix_rows_plain(y2d, w_inv)
+    return x.reshape(shape).astype(y.dtype)

@@ -29,18 +29,33 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
     out_dir = os.path.join(p.out_dir, p.name)
     logger = MetricLogger(out_dir, t.batch_size, quiet=quiet)
 
+    if t.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     state = built.state
     step = built.start_step
     last_metrics: dict = {}
     t_start = time.perf_counter()
+    profiling = False
 
     try:
         while step < num_steps:
+            if t.profile_step and step == t.profile_step and not profiling:
+                jax.profiler.start_trace(os.path.join(out_dir, "profile"))
+                profiling = True
             batch = next(built.data)
             y = _labels_to_onehot(batch, p)
             state, metrics = built.train_step(state, batch["image"], y)
             step += 1
             logger.throughput.update()
+
+            if profiling and step >= t.profile_step + t.profile_num_steps:
+                jax.tree.map(
+                    lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
+                    metrics,
+                )
+                jax.profiler.stop_trace()
+                profiling = False
 
             if step % t.scalar_log_gap == 0 or step == num_steps:
                 host = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -69,6 +84,8 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
             if built.ckpt is not None and t.checkpoint_gap and step % t.checkpoint_gap == 0:
                 built.ckpt.save(step, state)
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         if built.ckpt is not None:
             built.ckpt.save(step, state, wait=True)
         logger.close()
