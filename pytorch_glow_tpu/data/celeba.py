@@ -103,19 +103,38 @@ def celeba_batches(
     except (FileNotFoundError, NotADirectoryError):
         return None
 
+    from pytorch_glow_tpu.data import native_loader as nl
+
+    use_native = nl.available()
+
     def gen():
         rng = np.random.default_rng(train_cfg.seed)
         bs = train_cfg.batch_size
-        pool = ThreadPoolExecutor(max_workers=max(1, data_cfg.num_workers))
+        pool = None if use_native else ThreadPoolExecutor(
+            max_workers=max(1, data_cfg.num_workers)
+        )
         n = len(ds)
         while True:
             order = rng.permutation(n)
             for i in range(0, n - bs + 1, bs):
                 idx = order[i : i + bs]
-                results = list(pool.map(ds.get, idx))
-                batch = {"image": np.stack([r[0] for r in results])}
-                if results[0][1] is not None:
-                    batch["attr"] = np.stack([r[1] for r in results])
+                if use_native:
+                    # GIL-free C++ decode+crop+resize batch assembly.
+                    paths = [os.path.join(ds.img_dir, ds.files[j]) for j in idx]
+                    batch = {
+                        "image": nl.decode_batch(
+                            paths, ds.image_size, threads=data_cfg.num_workers
+                        )
+                    }
+                    if ds.attrs is not None:
+                        batch["attr"] = np.stack(
+                            [ds.attrs[ds.files[j]] for j in idx]
+                        )
+                else:
+                    results = list(pool.map(ds.get, idx))
+                    batch = {"image": np.stack([r[0] for r in results])}
+                    if results[0][1] is not None:
+                        batch["attr"] = np.stack([r[1] for r in results])
                 yield batch
 
     return gen()
