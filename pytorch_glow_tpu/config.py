@@ -83,6 +83,12 @@ class TrainConfig:
     seed: int = 0
     num_sample_images: int = 16
     sample_temperature: float = 0.7
+    # Anneal plot-time sampling temperature 0 -> sample_temperature over the
+    # first N steps (BASELINE.json config 3 "temperature-annealed sampling").
+    temperature_anneal_steps: int = 0
+    # Polyak averaging of trainable params for eval/sampling (Glow paper
+    # practice; 0 disables — the reference lineage has no EMA).
+    ema_decay: float = 0.0
     # Observability / debugging (SURVEY.md §5; no reference counterpart):
     profile_step: int = 0  # start a jax.profiler trace at this step (0 = off)
     profile_num_steps: int = 3

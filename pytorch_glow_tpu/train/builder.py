@@ -64,7 +64,7 @@ def build(
     mesh = meshlib.make_mesh(profile.mesh, devices)
     tx = make_optimizer(profile.optim, t)
 
-    state = steplib.init_state(jax.random.key(t.seed), g, tx)
+    state = steplib.init_state(jax.random.key(t.seed), g, tx, ema_decay=t.ema_decay)
     # Place everything on the mesh: params/opt_state with their GSPMD
     # shardings (replicated or TP), step/rng fully replicated — mixing
     # mesh-sharded and single-device arrays in one jit is an error.
@@ -75,8 +75,12 @@ def build(
     rep = meshlib.replicated(mesh)
     state["step"] = jax.device_put(state["step"], rep)
     state["rng"] = jax.device_put(state["rng"], rep)
+    if "ema" in state:
+        state["ema"] = jax.device_put(
+            state["ema"], meshlib.param_shardings(mesh, state["ema"])
+        )
 
-    train_step = steplib.make_train_step(g, tx)
+    train_step = steplib.make_train_step(g, tx, ema_decay=t.ema_decay)
     eval_step = steplib.make_eval_step(g)
     sample_fn = steplib.make_sample_fn(g, t.num_sample_images, t.sample_temperature)
     reconstruct_fn = steplib.make_reconstruct_fn(g)

@@ -9,7 +9,6 @@ clip, optimizer.step(); SURVEY.md §2.1 #19) with a donated, jit-compiled
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -24,21 +23,37 @@ State = dict[str, Any]
 
 
 def init_state(
-    rng: jax.Array, cfg: GlowConfig, tx: optax.GradientTransformation
+    rng: jax.Array,
+    cfg: GlowConfig,
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.0,
 ) -> State:
     """Fresh training state (params still need `ddi_init` on a host batch)."""
     rng_init, rng_train = jax.random.split(rng)
     params = glow.init_glow(rng_init, cfg)
     trainable, _ = partition(params)
-    return {
+    state = {
         "step": jnp.zeros((), jnp.int32),
         "params": params,
         "opt_state": tx.init(trainable),
         "rng": rng_train,
     }
+    if ema_decay > 0:
+        state["ema"] = jax.tree.map(lambda a: a, trainable)
+    return state
 
 
-def make_train_step(cfg: GlowConfig, tx: optax.GradientTransformation):
+def ema_params(state: State) -> dict:
+    """Full param tree with EMA trainables (falls back to live params)."""
+    if "ema" not in state:
+        return state["params"]
+    _, frozen = partition(state["params"])
+    return merge(state["ema"], frozen)
+
+
+def make_train_step(
+    cfg: GlowConfig, tx: optax.GradientTransformation, ema_decay: float = 0.0
+):
     """Returns jitted (state, image_batch[, y_onehot]) -> (state, metrics)."""
 
     def train_step(state: State, batch: jax.Array, y_onehot=None):
@@ -64,6 +79,13 @@ def make_train_step(cfg: GlowConfig, tx: optax.GradientTransformation):
             "opt_state": opt_state,
             "rng": state["rng"],
         }
+        if ema_decay > 0:
+            d = jnp.asarray(ema_decay, jnp.float32)
+            # Warm-start bias correction: effective decay ramps in.
+            d = jnp.minimum(d, (1.0 + state["step"]) / (10.0 + state["step"]))
+            new_state["ema"] = jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d), state["ema"], trainable
+            )
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
@@ -82,8 +104,11 @@ def make_eval_step(cfg: GlowConfig):
 
 
 def make_sample_fn(cfg: GlowConfig, n: int, temperature: float):
-    @functools.partial(jax.jit, static_argnames=())
-    def sample_fn(params, rng, y_onehot=None):
+    """`temperature` is the default; callers may pass a traced override
+    (e.g. the trainer's annealed plot temperature)."""
+
+    @jax.jit
+    def sample_fn(params, rng, y_onehot=None, temperature=jnp.float32(temperature)):
         imgs = glow.sample(params, rng, cfg, n=n, temperature=temperature, y_onehot=y_onehot)
         return glow.postprocess(imgs, cfg)
 

@@ -17,6 +17,7 @@ import time
 import jax
 import numpy as np
 
+from pytorch_glow_tpu.train import step as steplib
 from pytorch_glow_tpu.train.builder import Built, _labels_to_onehot
 from pytorch_glow_tpu.utils.image import save_image_grid
 from pytorch_glow_tpu.utils.metrics import MetricLogger
@@ -68,7 +69,13 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
             if t.plot_gap and step % t.plot_gap == 0:
                 rng = jax.random.fold_in(jax.random.key(t.seed + 2), step)
                 y_s = None if y is None else y[: t.num_sample_images]
-                samples = np.asarray(built.sample_fn(state["params"], rng, y_s))
+                temp = t.sample_temperature
+                if t.temperature_anneal_steps:
+                    temp *= min(1.0, step / t.temperature_anneal_steps)
+                plot_params = steplib.ema_params(state)
+                samples = np.asarray(
+                    built.sample_fn(plot_params, rng, y_s, np.float32(temp))
+                )
                 save_image_grid(
                     os.path.join(out_dir, "samples", f"step_{step:08d}.png"), samples
                 )
