@@ -203,7 +203,11 @@ def permutation_forward(
 ) -> tuple[jax.Array, jax.Array | None]:
     pixels = x.shape[1] * x.shape[2]
     if kind == "fixed":
-        return x[..., params["idx"]], logdet
+        # One-hot matmul instead of a traced channel gather: the idx vector
+        # is scan-carried (traced), and dynamic gathers on the channel axis
+        # are slow on TPU; a 0/1 matmul rides the MXU and is bit-exact.
+        pmat = jax.nn.one_hot(params["idx"], x.shape[-1], dtype=x.dtype)
+        return jnp.einsum("...i,ji->...j", x, pmat), logdet
     if kind == "lu":
         if impl == "pallas":
             from pytorch_glow_tpu.ops import invconv_pallas as icp
@@ -229,7 +233,8 @@ def permutation_reverse(
     params: Params, z: jax.Array, kind: str, impl: str = "xla"
 ) -> jax.Array:
     if kind == "fixed":
-        return z[..., params["inv_idx"]]
+        pmat = jax.nn.one_hot(params["inv_idx"], z.shape[-1], dtype=z.dtype)
+        return jnp.einsum("...i,ji->...j", z, pmat)
     if kind == "lu":
         if impl == "pallas":
             from pytorch_glow_tpu.ops import invconv_pallas as icp

@@ -69,6 +69,9 @@ def resolve_profile(args):
 def main(argv=None):
     args = parse_args(argv)
     prof = resolve_profile(args)
+    from pytorch_glow_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()  # no-op outside pod-slice / cluster environments
     from pytorch_glow_tpu.train.builder import build
     from pytorch_glow_tpu.train.trainer import train
 
