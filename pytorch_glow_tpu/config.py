@@ -35,6 +35,7 @@ class GlowConfig:
     compute_dtype: str = "float32"  # coupling-net compute: float32 | bfloat16
     remat: bool = False  # jax.checkpoint the per-step scan body
     invconv_impl: str = "xla"  # xla | pallas
+    invconv_precision: str = "highest"  # highest | high | default (MXU passes)
 
     @property
     def n_bins(self) -> float:

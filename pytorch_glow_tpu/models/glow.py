@@ -94,7 +94,9 @@ def _step_forward(sp: Params, z: jax.Array, logdet: jax.Array, cfg: GlowConfig, 
     z, logdet, an_new = L.actnorm_forward(
         sp["actnorm"], z, logdet, ddi=ddi, scale=cfg.actnorm_scale
     )
-    z, logdet = L.permutation_forward(sp["perm"], z, logdet, kind, cfg.invconv_impl)
+    z, logdet = L.permutation_forward(
+        sp["perm"], z, logdet, kind, cfg.invconv_impl, cfg.invconv_precision
+    )
     z, logdet, cp_new = L.coupling_forward(
         sp["coupling"], z, logdet, cfg.flow_coupling, ddi=ddi, compute_dtype=dtype
     )
@@ -107,7 +109,9 @@ def _step_reverse(sp: Params, z: jax.Array, cfg: GlowConfig) -> jax.Array:
     dtype = jnp.dtype(cfg.compute_dtype)
     kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
     z = L.coupling_reverse(sp["coupling"], z, cfg.flow_coupling, compute_dtype=dtype)
-    z = L.permutation_reverse(sp["perm"], z, kind, cfg.invconv_impl)
+    z = L.permutation_reverse(
+        sp["perm"], z, kind, cfg.invconv_impl, cfg.invconv_precision
+    )
     z = L.actnorm_reverse(sp["actnorm"], z)
     return z
 

@@ -199,7 +199,7 @@ def permutation_init(
 
 def permutation_forward(
     params: Params, x: jax.Array, logdet: jax.Array | None, kind: str,
-    impl: str = "xla",
+    impl: str = "xla", precision: str = "highest",
 ) -> tuple[jax.Array, jax.Array | None]:
     pixels = x.shape[1] * x.shape[2]
     if kind == "fixed":
@@ -217,20 +217,21 @@ def permutation_forward(
                 logdet = logdet + pixels * ld
             return y, logdet
         w = ic.lu_assemble(params["lu"])
-        y = ic.mix_channels(x, w).astype(x.dtype)
+        y = ic.mix_channels(x, w, ic.PRECISIONS[precision]).astype(x.dtype)
         if logdet is not None:
             logdet = logdet + pixels * ic.lu_logdet(params["lu"])
         return y, logdet
     # plain
     w = params["w"]
-    y = ic.mix_channels(x, w).astype(x.dtype)
+    y = ic.mix_channels(x, w, ic.PRECISIONS[precision]).astype(x.dtype)
     if logdet is not None:
         logdet = logdet + pixels * jnp.linalg.slogdet(w)[1]
     return y, logdet
 
 
 def permutation_reverse(
-    params: Params, z: jax.Array, kind: str, impl: str = "xla"
+    params: Params, z: jax.Array, kind: str, impl: str = "xla",
+    precision: str = "highest",
 ) -> jax.Array:
     if kind == "fixed":
         pmat = jax.nn.one_hot(params["inv_idx"], z.shape[-1], dtype=z.dtype)
@@ -241,9 +242,9 @@ def permutation_reverse(
 
             return icp.invconv_lu_reverse(z, params["lu"])
         w_inv = ic.lu_inverse(params["lu"])
-        return ic.mix_channels(z, w_inv).astype(z.dtype)
+        return ic.mix_channels(z, w_inv, ic.PRECISIONS[precision]).astype(z.dtype)
     w_inv = jnp.linalg.inv(params["w"])
-    return ic.mix_channels(z, w_inv).astype(z.dtype)
+    return ic.mix_channels(z, w_inv, ic.PRECISIONS[precision]).astype(z.dtype)
 
 
 # ---------------------------------------------------------------------------
