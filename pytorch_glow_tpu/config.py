@@ -74,12 +74,15 @@ class TrainConfig:
     """Training cadence (reference profile section "Train")."""
 
     batch_size: int = 64
+    grad_accum: int = 1  # optimizer step every N micro-batches (optax.MultiSteps)
     num_steps: int = 100_000
     max_grad_clip: float = 5.0  # elementwise clamp; 0 disables
     max_grad_norm: float = 100.0  # global-norm clip; 0 disables
     scalar_log_gap: int = 50
     plot_gap: int = 1000
     checkpoint_gap: int = 2000
+    eval_gap: int = 0  # run held-out NLL eval every N steps (0 = off)
+    eval_batches: int = 8
     keep_checkpoints: int = 3
     seed: int = 0
     num_sample_images: int = 16
@@ -155,6 +158,7 @@ PRESETS: dict[str, Profile] = {
             K=32,
             L=3,
             compute_dtype="bfloat16",
+            invconv_precision="high",
         ),
         train=TrainConfig(batch_size=256),
         data=DataConfig(name="cifar10", image_size=32),
@@ -167,6 +171,7 @@ PRESETS: dict[str, Profile] = {
             K=32,
             L=4,
             compute_dtype="bfloat16",
+            invconv_precision="high",
         ),
         train=TrainConfig(batch_size=128, sample_temperature=0.7),
         data=DataConfig(name="celeba", image_size=64),
@@ -182,6 +187,7 @@ PRESETS: dict[str, Profile] = {
             y_classes=1000,
             y_multi_class=False,
             compute_dtype="bfloat16",
+            invconv_precision="high",
             remat=True,
         ),
         train=TrainConfig(batch_size=128),
@@ -196,6 +202,7 @@ PRESETS: dict[str, Profile] = {
             L=6,
             n_bits_x=5,
             compute_dtype="bfloat16",
+            invconv_precision="high",
             remat=True,
         ),
         train=TrainConfig(batch_size=64, sample_temperature=0.7),

@@ -86,11 +86,14 @@ def build(
     reconstruct_fn = steplib.make_reconstruct_fn(g)
 
     data = None
+    eval_data = None
     if with_data:
         raw = pipeline.make_dataset(profile.data, g, t)
         data = pipeline.device_prefetch(
             raw, sharding=meshlib.batch_sharding(mesh), size=profile.data.prefetch
         )
+        if t.eval_gap:
+            eval_data = pipeline.make_dataset(profile.data, g, t, split="test")
 
     ckpt = None
     start_step = 0
@@ -123,6 +126,7 @@ def build(
         reconstruct_fn=reconstruct_fn,
         data=data,
         ckpt=ckpt,
+        extras={"eval_data": eval_data},
         start_step=start_step,
         resumed=resumed,
     )

@@ -61,4 +61,9 @@ def make_optimizer(opt_cfg: OptimConfig, train_cfg: TrainConfig) -> optax.Gradie
     if train_cfg.max_grad_norm and train_cfg.max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(train_cfg.max_grad_norm))
     chain.append(core)
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if getattr(train_cfg, "grad_accum", 1) > 1:
+        # Accumulate N micro-batch grads per optimizer step (the TPU-native
+        # answer to "batch does not fit": no reference counterpart).
+        tx = optax.MultiSteps(tx, every_k_schedule=train_cfg.grad_accum)
+    return tx

@@ -88,6 +88,20 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
                     os.path.join(out_dir, "recon", f"step_{step:08d}.png"), recon
                 )
 
+            if t.eval_gap and step % t.eval_gap == 0:
+                eval_it = built.extras.get("eval_data")
+                if eval_it is not None:
+                    import itertools
+
+                    eval_params = steplib.ema_params(state)
+                    nlls = [
+                        float(built.eval_step(eval_params, b["image"],
+                                              _labels_to_onehot(b, p))["nll"])
+                        for b in itertools.islice(eval_it, t.eval_batches)
+                    ]
+                    if nlls:
+                        logger.scalars(step, {"eval_nll": float(np.mean(nlls))})
+
             if built.ckpt is not None and t.checkpoint_gap and step % t.checkpoint_gap == 0:
                 built.ckpt.save(step, state)
     finally:

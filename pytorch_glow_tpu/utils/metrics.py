@@ -21,23 +21,33 @@ import numpy as np
 
 
 class CsvWriter:
+    """CSV scalars with a growable schema: late-appearing metrics (e.g. a
+    periodic eval_nll) extend the header by rewriting the small file."""
+
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.path = path
-        self._file = open(path, "a", newline="")
-        self._writer: csv.DictWriter | None = None
+        self._fields: list[str] = []
+        self._rows: list[dict] = []
+        if os.path.isfile(path):
+            with open(path, newline="") as f:
+                reader = csv.DictReader(f)
+                self._fields = list(reader.fieldnames or [])
+                self._rows = list(reader)
 
     def scalars(self, step: int, values: dict[str, float]) -> None:
         row = {"step": step, **{k: float(v) for k, v in values.items()}}
-        if self._writer is None:
-            self._writer = csv.DictWriter(self._file, fieldnames=list(row))
-            if self._file.tell() == 0:
-                self._writer.writeheader()
-        self._writer.writerow(row)
-        self._file.flush()
+        for k in row:
+            if k not in self._fields:
+                self._fields.append(k)
+        self._rows.append(row)
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fields, restval="")
+            w.writeheader()
+            w.writerows(self._rows)
 
     def close(self) -> None:
-        self._file.close()
+        pass
 
 
 class TBWriter:
