@@ -28,12 +28,12 @@ On non-TPU backends the kernel runs in interpret mode (tests).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pytorch_glow_tpu.ops import invconv_xla as ic
 
@@ -81,12 +81,18 @@ def _fwd_kernel(l_ref, u_ref, s_ref, sign_ref, pmat_ref, x_ref, y_ref, ld_ref, w
     )
 
 
-def _mix_rows_fused(x2d: jax.Array, lu: ic.LUParams) -> tuple[jax.Array, jax.Array]:
-    """(N, C) f32 -> (y (N, C), per-pixel logdet scalar)."""
+def _pallas_fused_raw(
+    x2d: jax.Array,
+    l_raw: jax.Array,
+    u_raw: jax.Array,
+    log_s: jax.Array,
+    sign_s: jax.Array,
+    pmat: jax.Array,
+) -> jax.Array:
+    """Shard-local fused call: (N, C) f32 -> y (N, C)."""
     n, c = x2d.shape
-    pmat = jax.nn.one_hot(lu.p_idx, c, dtype=jnp.float32)  # W = P @ LU'
     grid = (pl.cdiv(n, TILE_N),)
-    y, ld = pl.pallas_call(
+    y, _ = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
         in_specs=[
@@ -112,8 +118,40 @@ def _mix_rows_fused(x2d: jax.Array, lu: ic.LUParams) -> tuple[jax.Array, jax.Arr
             bytes_accessed=4 * (2 * n * c + 4 * c * c),
             transcendentals=c,
         ),
-    )(lu.l_raw, lu.u_raw, lu.log_s[None, :], lu.sign_s[None, :], pmat, x2d)
-    return y, ld[0, 0]
+    )(l_raw, u_raw, log_s[None, :], sign_s[None, :], pmat, x2d)
+    return y
+
+
+# GSPMD integration: the kernel is row-parallel (each pixel row is mixed
+# independently, the LU factors are replicated), so under a mesh we tell the
+# partitioner exactly that via custom_partitioning — the per-shard lowering
+# is the same pallas_call on the local rows, and NO collectives are needed.
+_mix_fused = custom_partitioning(_pallas_fused_raw)
+
+
+def _row_sharding(mesh, arg_shapes):
+    spec = arg_shapes[0].sharding.spec
+    row = spec[0] if len(spec) > 0 else None
+    return NamedSharding(mesh, P(row, None))
+
+
+def _fused_infer(mesh, arg_shapes, result_shape):
+    return _row_sharding(mesh, arg_shapes)
+
+
+def _fused_partition(mesh, arg_shapes, result_shape):
+    out_sh = _row_sharding(mesh, arg_shapes)
+    rep = NamedSharding(mesh, P())
+    arg_sh = (out_sh,) + (rep,) * 5
+    return mesh, _pallas_fused_raw, out_sh, arg_sh
+
+
+_mix_fused.def_partition(
+    partition=_fused_partition,
+    infer_sharding_from_operands=_fused_infer,
+    # shardy rule: rows of x and y share a factor; weights use private ones.
+    sharding_rule="n c, i j, k l, m, o, p q -> n c",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -131,7 +169,7 @@ def _matmul_kernel(w_ref, x_ref, y_ref):
     )
 
 
-def _mix_rows_plain(x2d: jax.Array, w: jax.Array) -> jax.Array:
+def _pallas_plain_raw(x2d: jax.Array, w: jax.Array) -> jax.Array:
     """(N, C) @ W^T via the same tiling (used for the inverse direction)."""
     n, c = x2d.shape
     grid = (pl.cdiv(n, TILE_N),)
@@ -151,6 +189,22 @@ def _mix_rows_plain(x2d: jax.Array, w: jax.Array) -> jax.Array:
     )(w, x2d)
 
 
+_mix_plain = custom_partitioning(_pallas_plain_raw)
+
+
+def _plain_partition(mesh, arg_shapes, result_shape):
+    out_sh = _row_sharding(mesh, arg_shapes)
+    rep = NamedSharding(mesh, P())
+    return mesh, _pallas_plain_raw, out_sh, (out_sh, rep)
+
+
+_mix_plain.def_partition(
+    partition=_plain_partition,
+    infer_sharding_from_operands=_fused_infer,
+    sharding_rule="n c, p q -> n c",
+)
+
+
 # ---------------------------------------------------------------------------
 # Public entry points (shape-polymorphic over (..., C); custom VJP to XLA)
 # ---------------------------------------------------------------------------
@@ -160,9 +214,11 @@ def _mix_rows_plain(x2d: jax.Array, w: jax.Array) -> jax.Array:
 def invconv_lu_forward(x: jax.Array, lu: ic.LUParams) -> tuple[jax.Array, jax.Array]:
     """y[..., :] = W @ x[..., :]; returns (y, per-pixel logdet scalar)."""
     shape = x.shape
-    x2d = x.astype(jnp.float32).reshape(-1, shape[-1])
-    y, ld = _mix_rows_fused(x2d, lu)
-    return y.reshape(shape).astype(x.dtype), ld
+    c = shape[-1]
+    x2d = x.astype(jnp.float32).reshape(-1, c)
+    pmat = jax.nn.one_hot(lu.p_idx, c, dtype=jnp.float32)  # W = P @ LU'
+    y = _mix_fused(x2d, lu.l_raw, lu.u_raw, lu.log_s, lu.sign_s, pmat)
+    return y.reshape(shape).astype(x.dtype), ic.lu_logdet(lu)
 
 
 def _xla_fwd(x, lu):
@@ -191,5 +247,5 @@ def invconv_lu_reverse(y: jax.Array, lu: ic.LUParams) -> jax.Array:
     w_inv = ic.lu_inverse(lu)
     shape = y.shape
     y2d = y.astype(jnp.float32).reshape(-1, shape[-1])
-    x = _mix_rows_plain(y2d, w_inv)
+    x = _mix_plain(y2d, w_inv)
     return x.reshape(shape).astype(y.dtype)
