@@ -107,6 +107,14 @@ def build(
             state = restored
             start_step = int(state["step"])
             resumed = True
+            if training and data is not None:
+                # Fast-forward the host stream so a resumed run consumes the
+                # SAME batches an uninterrupted run would have: 1 DDI batch +
+                # start_step train batches were already drawn before the
+                # snapshot.  Makes resume bitwise-deterministic (the reference
+                # reshuffles and silently diverges on restart).
+                for _ in range(start_step + 1):
+                    next(data)
     elif training and data is not None:
         # Data-dependent actnorm init on the first host batch (one jitted
         # depth-scan; replaces the reference's first-forward side effect).

@@ -33,6 +33,11 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
     if t.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    from pytorch_glow_tpu.utils.summary import summarize
+
+    if not quiet:
+        print(f"[train] {summarize(built.state['params'], p.glow)}", flush=True)
+
     state = built.state
     step = built.start_step
     last_metrics: dict = {}

@@ -93,3 +93,49 @@ def test_profile_files_on_disk():
     for f in files:
         prof = load_profile(os.path.join(root, f))
         assert prof.glow.K > 0
+
+
+def test_resume_is_bitwise_deterministic(tmp_path):
+    """Checkpoint-resume must continue the EXACT trajectory: train 10 steps
+    straight vs 5 + resume + 5 -> identical params (fold_in-per-step RNG +
+    full state in orbax)."""
+    import jax
+    import numpy as np
+
+    pa = micro_profile(tmp_path / "a").replace(
+        train=TrainConfig(batch_size=16, num_steps=10, scalar_log_gap=10,
+                          plot_gap=0, checkpoint_gap=0, seed=3),
+    )
+    built_a = builderlib.build(pa)
+    trainerlib.train(built_a, quiet=True)
+
+    pb = micro_profile(tmp_path / "b").replace(
+        train=TrainConfig(batch_size=16, num_steps=10, scalar_log_gap=5,
+                          plot_gap=0, checkpoint_gap=5, seed=3),
+    )
+    built_b = builderlib.build(pb)
+    trainerlib.train(built_b, num_steps=5, quiet=True)
+    built_b2 = builderlib.build(pb)
+    assert built_b2.resumed and built_b2.start_step == 5
+    trainerlib.train(built_b2, num_steps=10, quiet=True)
+
+    la = jax.tree_util.tree_leaves_with_path(built_a.state["params"])
+    lb = dict(jax.tree_util.tree_leaves_with_path(built_b2.state["params"]))
+    assert la
+    for path, leaf_a in la:
+        np.testing.assert_array_equal(
+            np.asarray(leaf_a), np.asarray(lb[path]),
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_model_summary():
+    from pytorch_glow_tpu.utils.summary import param_count, summarize
+    import jax
+    from pytorch_glow_tpu.models import glow as g
+
+    cfg = GlowConfig(image_shape=(8, 8, 3), hidden_channels=16, K=2, L=2)
+    params = g.init_glow(jax.random.key(0), cfg)
+    assert param_count(params) > 1000
+    s = summarize(params, cfg)
+    assert "params" in s and "GFLOP" in s
