@@ -163,3 +163,33 @@ def test_additive_coupling_roundtrip():
     x = jax.random.uniform(jax.random.key(13), (2, 8, 8, 3))
     x_rec = glow.reconstruct(params, x, cfg)
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+
+
+def test_n_bits_5_objective_and_roundtrip():
+    """celebahq256 runs 5-bit images: preprocessing quantizes to 32 bins and
+    the discretization term uses log(32)."""
+    cfg = GlowConfig(image_shape=(8, 8, 3), hidden_channels=16, K=2, L=2, n_bits_x=5)
+    assert cfg.n_bins == 32.0
+    u8 = jnp.arange(192, dtype=jnp.uint8).reshape(1, 8, 8, 3)
+    x = glow.preprocess(u8, cfg)
+    assert float(jnp.max(x)) < 1.0
+    # 5-bit postprocess returns multiples of 8 in uint8 space.
+    back = np.asarray(glow.postprocess(x, cfg))
+    assert set(np.unique(back % 8)) == {0}
+    params = glow.init_glow(jax.random.key(20), cfg)
+    out = glow.log_prob(params, x, cfg)
+    assert bool(jnp.isfinite(out["nll"][0]))
+
+
+def test_deep_multiscale_L4():
+    """Four levels -> three stacked Split2d factorizations."""
+    cfg = GlowConfig(image_shape=(16, 16, 3), hidden_channels=16, K=1, L=4)
+    assert cfg.final_latent_shape == (1, 1, 96)
+    params = glow.init_glow(jax.random.key(21), cfg)
+    x = jax.random.uniform(jax.random.key(22), (2, 16, 16, 3))
+    z, logdet, z_splits, _ = glow.encode(params, x, cfg)
+    assert z.shape == (2, 1, 1, 96) and len(z_splits) == 3
+    x_rec = glow.decode(params, z, cfg, z_splits=z_splits)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+    imgs = glow.sample(params, jax.random.key(23), cfg, n=2, temperature=0.5)
+    assert imgs.shape == (2, 16, 16, 3)

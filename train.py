@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true", help="force synthetic data")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--retries", type=int, default=0,
+                   help="auto-resume from the latest snapshot after a crash, "
+                        "up to N times (elastic-recovery; reference requires "
+                        "a manual relaunch)")
     return p.parse_args(argv)
 
 
@@ -75,12 +79,25 @@ def main(argv=None):
     from pytorch_glow_tpu.train.builder import build
     from pytorch_glow_tpu.train.trainer import train
 
-    built = build(prof)
-    if built.resumed:
-        print(f"[train] resumed from step {built.start_step}")
-    result = train(built, quiet=args.quiet)
-    print(json.dumps(result))
-    return result
+    attempts = args.retries + 1
+    last_exc = None
+    for attempt in range(attempts):
+        built = build(prof)
+        if built.resumed:
+            print(f"[train] resumed from step {built.start_step}")
+        try:
+            result = train(built, quiet=args.quiet)
+            print(json.dumps(result))
+            return result
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # crash -> rebuild from latest snapshot
+            last_exc = e
+            if attempt + 1 < attempts:
+                print(f"[train] attempt {attempt + 1} failed "
+                      f"({type(e).__name__}: {e}); resuming from last snapshot",
+                      file=sys.stderr)
+    raise last_exc
 
 
 if __name__ == "__main__":
