@@ -1,0 +1,109 @@
+"""CLI end-to-end: train.py and every infer.py subcommand on a synthetic
+on-disk CelebA dataset (SURVEY.md §2.1 #1-#2, §3.1-§3.2)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+sys.path.insert(0, REPO)
+
+import infer as infer_cli  # noqa: E402
+import train as train_cli  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def celeba_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("celeba")
+    img_dir = root / "img_align_celeba"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    names = [f"{i:06d}.jpg" for i in range(1, 25)]
+    for n in names:
+        Image.fromarray(
+            rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+        ).save(img_dir / n, quality=95)
+    attrs = rng.choice([-1, 1], size=(len(names), 40))
+    lines = [str(len(names)), " ".join(f"A{i}" for i in range(40))]
+    for n, row in zip(names, attrs):
+        lines.append(n + " " + " ".join(map(str, row)))
+    (root / "list_attr_celeba.txt").write_text("\n".join(lines) + "\n")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def trained(celeba_root, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    prof_path = os.path.join(out, "p.json")
+    with open(prof_path, "w") as f:
+        json.dump(
+            {
+                "name": "cli",
+                "glow": {"image_shape": [8, 8, 3], "hidden_channels": 16,
+                          "K": 2, "L": 2},
+                "train": {"batch_size": 8, "num_steps": 6, "scalar_log_gap": 6,
+                           "plot_gap": 0, "checkpoint_gap": 3,
+                           "num_sample_images": 4},
+                "data": {"name": "celeba", "image_size": 8, "num_workers": 2},
+            },
+            f,
+        )
+    r = train_cli.main([prof_path, "--data-root", celeba_root,
+                        "--out-dir", out, "--quiet"])
+    assert r["final_step"] == 6
+    return prof_path, out, celeba_root
+
+
+def _run_infer(args):
+    infer_cli.main(args)
+
+
+def test_infer_sample(trained, tmp_path):
+    prof, out, root = trained
+    png = str(tmp_path / "s.png")
+    _run_infer(["sample", prof, "-n", "4", "--out-dir", out, "-o", png])
+    assert os.path.getsize(png) > 0
+
+
+def test_infer_recon(trained, tmp_path):
+    prof, out, root = trained
+    png = str(tmp_path / "r.png")
+    _run_infer(["recon", prof, "-n", "2", "--data-root", root,
+                "--out-dir", out, "-o", png])
+    assert os.path.getsize(png) > 0
+
+
+def test_infer_delta_then_manipulate_and_interpolate(trained, tmp_path):
+    prof, out, root = trained
+    npz = str(tmp_path / "delta.npz")
+    _run_infer(["delta", prof, "--data-root", root, "--out-dir", out,
+                "--batches", "2", "-o", npz])
+    delta = np.load(npz, allow_pickle=True)["delta"]
+    assert delta.shape[0] == 40 and np.isfinite(delta).all()
+
+    png = str(tmp_path / "m.png")
+    _run_infer(["manipulate", prof, "--delta", npz, "--attr", "5",
+                "--strength", "1.5", "--data-root", root, "--out-dir", out,
+                "-n", "2", "-o", png])
+    assert os.path.getsize(png) > 0
+
+    png2 = str(tmp_path / "i.png")
+    _run_infer(["interpolate", prof, "--data-root", root, "--out-dir", out,
+                "--steps", "4", "-o", png2])
+    assert os.path.getsize(png2) > 0
+
+
+def test_infer_nll(trained, capsys):
+    prof, out, root = trained
+    _run_infer(["nll", prof, "--data-root", root, "--out-dir", out,
+                "--batches", "2"])
+    assert "bits/dim" in capsys.readouterr().out
+
+
+def test_train_rejects_unknown_profile():
+    with pytest.raises(SystemExit):
+        train_cli.main(["definitely-not-a-preset", "--quiet"])
