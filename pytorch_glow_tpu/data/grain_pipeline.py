@@ -60,11 +60,6 @@ class _FolderSource:
         return rec
 
 
-class _Batch(grain.MapTransform if GRAIN_AVAILABLE else object):
-    def map(self, x):
-        return x
-
-
 def make_grain_loader(
     data_cfg: DataConfig,
     glow_cfg: GlowConfig,

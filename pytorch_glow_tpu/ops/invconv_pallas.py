@@ -44,10 +44,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 # ---------------------------------------------------------------------------
 # Fused forward kernel: W <- P L U' (once), y_tile = x_tile @ W^T, logdet
 # ---------------------------------------------------------------------------
