@@ -21,8 +21,10 @@ host, cached in bench_baseline_torch.json (regenerate with
 `python scripts/bench_baseline_torch.py`).
 
 Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 10),
-BENCH_INVCONV (xla|pallas; default pallas — fused kernel, exact f32, 2.35x
-over the XLA path at equal precision), BENCH_PRESET (default celeba64).
+BENCH_INVCONV (xla|pallas; default xla — the celeba64 preset pins
+invconv_precision="high", which matches the fused Pallas kernel's speed;
+the kernel itself compiles too slowly through this machine's remote-compile
+tunnel when chained in a fori_loop), BENCH_PRESET (default celeba64).
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "celeba64")
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    invconv = os.environ.get("BENCH_INVCONV", "pallas")
+    invconv = os.environ.get("BENCH_INVCONV", "xla")
 
     cfg = dataclasses.replace(PRESETS[preset].glow, invconv_impl=invconv)
     h, w, c = cfg.image_shape
