@@ -53,6 +53,11 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
             y = _labels_to_onehot(batch, p)
             state, metrics = built.train_step(state, batch["image"], y)
             step += 1
+            if step == built.start_step + 1:
+                # First step paid the jit compile; don't let it skew the
+                # images/sec window.
+                jax.block_until_ready(metrics)
+                logger.throughput.reset_clock()
             logger.throughput.update()
 
             if profiling and step >= t.profile_step + t.profile_num_steps:

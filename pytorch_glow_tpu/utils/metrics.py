@@ -90,6 +90,11 @@ class Throughput:
     def update(self, n_steps: int = 1) -> None:
         self._steps += n_steps
 
+    def reset_clock(self) -> None:
+        """Restart the window (used to drop the first step's jit compile)."""
+        self._t0 = time.perf_counter()
+        self._steps = 0
+
     def rate_and_reset(self) -> float:
         t1 = time.perf_counter()
         rate = self._steps * self.batch_size / max(1e-9, t1 - self._t0)
