@@ -36,6 +36,11 @@ class GlowConfig:
     remat: bool = False  # jax.checkpoint the per-step scan body
     invconv_impl: str = "xla"  # xla | pallas
     invconv_precision: str = "highest"  # highest | high | default (MXU passes)
+    # Spatial GSPMD sharding (the image-model analog of sequence parallelism,
+    # SURVEY.md §5): constrain activations to shard H over the "model" axis
+    # whenever an ambient mesh is set and H divides. For 256x256/L=6 scale
+    # where per-chip HBM binds; GSPMD inserts the conv halo exchanges.
+    shard_spatial: bool = False
 
     @property
     def n_bins(self) -> float:
@@ -204,6 +209,7 @@ PRESETS: dict[str, Profile] = {
             compute_dtype="bfloat16",
             invconv_precision="high",
             remat=True,
+            shard_spatial=True,  # H over "model" when mesh.model > 1
         ),
         train=TrainConfig(batch_size=64, sample_temperature=0.7),
         data=DataConfig(name="celebahq", image_size=256),

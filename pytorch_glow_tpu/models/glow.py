@@ -138,6 +138,27 @@ def _scan_steps_reverse(steps: Params, z, cfg: GlowConfig):
     return z
 
 
+def _maybe_shard_spatial(z: jax.Array, cfg: GlowConfig) -> jax.Array:
+    """Opt-in spatial parallelism: constrain (B, H, W, C) to shard H over
+    the mesh "model" axis (batch stays on "data").  No-op without an
+    ambient mesh (jax.set_mesh) or when H does not divide the axis.
+    GSPMD inserts the 3x3-conv halo exchanges automatically."""
+    if not cfg.shard_spatial:
+        return z
+    from jax.sharding import PartitionSpec
+
+    from pytorch_glow_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or getattr(mesh, "empty", True) or MODEL_AXIS not in mesh.shape:
+        return z
+    if z.shape[1] % mesh.shape[MODEL_AXIS] != 0:
+        return z
+    return jax.lax.with_sharding_constraint(
+        z, PartitionSpec(DATA_AXIS, MODEL_AXIS, None, None)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Encode / decode through the multi-scale stack
 # ---------------------------------------------------------------------------
@@ -162,6 +183,7 @@ def encode(
     new_levels = [] if ddi else None
     for i, level in enumerate(params["levels"]):
         z = squeeze2d(z, 2)
+        z = _maybe_shard_spatial(z, cfg)
         z, logdet, new_steps = _scan_steps_forward(level["steps"], z, logdet, cfg, ddi)
         if level["split"] is not None:
             z, logdet, z2 = L.split2d_forward(level["split"], z, logdet)
@@ -195,6 +217,7 @@ def decode(
                 z = L.split2d_reverse(
                     level["split"], z, split_rngs[i], temperature=temperature
                 )
+        z = _maybe_shard_spatial(z, cfg)
         z = _scan_steps_reverse(level["steps"], z, cfg)
         z = unsqueeze2d(z, 2)
     return z

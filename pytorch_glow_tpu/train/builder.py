@@ -62,6 +62,9 @@ def build(
 ) -> Built:
     g, t = profile.glow, profile.train
     mesh = meshlib.make_mesh(profile.mesh, devices)
+    if g.shard_spatial:
+        # Spatial-sharding constraints inside the model need an ambient mesh.
+        jax.set_mesh(mesh)
     tx = make_optimizer(profile.optim, t)
 
     state = steplib.init_state(jax.random.key(t.seed), g, tx, ema_decay=t.ema_decay)

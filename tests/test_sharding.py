@@ -129,3 +129,41 @@ def test_builder_on_mesh(eight_devices, tmp_path):
     batch = next(built.data)
     state, metrics = built.train_step(built.state, batch["image"], None)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_spatial_sharding_matches_unsharded(eight_devices):
+    """shard_spatial: H over "model" under an ambient mesh — same numbers,
+    activations actually sharded (SP analog for images, SURVEY.md §5)."""
+    import jax.numpy as jnp
+
+    cfg_plain = GlowConfig(image_shape=(16, 16, 3), hidden_channels=16, K=2, L=2)
+    cfg_sp = GlowConfig(
+        image_shape=(16, 16, 3), hidden_channels=16, K=2, L=2, shard_spatial=True
+    )
+    params = glow.init_glow(jax.random.key(0), cfg_plain)
+    x = jax.random.uniform(jax.random.key(1), (8, 16, 16, 3))
+    params = glow.ddi_init(params, x, cfg_plain)
+
+    out_plain = glow.log_prob(params, x, cfg_plain)
+
+    mesh = meshlib.make_mesh(MeshConfig(data=2, model=4))
+    with jax.set_mesh(mesh):
+        ps = meshlib.shard_params(mesh, params)
+        xs = jax.device_put(x, meshlib.batch_sharding(mesh))
+        out_sp = jax.jit(lambda p, x: glow.log_prob(p, x, cfg_sp))(ps, xs)
+        rec = jax.jit(lambda p, x: glow.reconstruct(p, x, cfg_sp))(ps, xs)
+
+    np.testing.assert_allclose(
+        np.asarray(out_sp["nll"]), np.asarray(out_plain["nll"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3)
+
+
+def test_spatial_sharding_noop_without_mesh():
+    cfg_sp = GlowConfig(
+        image_shape=(16, 16, 3), hidden_channels=16, K=2, L=2, shard_spatial=True
+    )
+    params = glow.init_glow(jax.random.key(0), cfg_sp)
+    x = jax.random.uniform(jax.random.key(1), (4, 16, 16, 3))
+    out = glow.log_prob(params, x, cfg_sp)
+    assert np.isfinite(np.asarray(out["nll"])).all()
