@@ -80,6 +80,7 @@ class TrainConfig:
 
     batch_size: int = 64
     grad_accum: int = 1  # optimizer step every N micro-batches (optax.MultiSteps)
+    steps_per_call: int = 1  # chain N train steps in one jit dispatch
     num_steps: int = 100_000
     max_grad_clip: float = 5.0  # elementwise clamp; 0 disables
     max_grad_norm: float = 100.0  # global-norm clip; 0 disables

@@ -83,7 +83,18 @@ def build(
             state["ema"], meshlib.param_shardings(mesh, state["ema"])
         )
 
-    train_step = steplib.make_train_step(g, tx, ema_decay=t.ema_decay)
+    if t.steps_per_call > 1:
+        for gap_name in ("scalar_log_gap", "plot_gap", "checkpoint_gap", "eval_gap"):
+            gap = getattr(t, gap_name)
+            assert gap % t.steps_per_call == 0, (
+                f"{gap_name}={gap} must be a multiple of steps_per_call="
+                f"{t.steps_per_call}"
+            )
+        train_step = steplib.make_train_step_n(
+            g, tx, t.steps_per_call, ema_decay=t.ema_decay
+        )
+    else:
+        train_step = steplib.make_train_step(g, tx, ema_decay=t.ema_decay)
     eval_step = steplib.make_eval_step(g)
     sample_fn = steplib.make_sample_fn(g, t.num_sample_images, t.sample_temperature)
     reconstruct_fn = steplib.make_reconstruct_fn(g)

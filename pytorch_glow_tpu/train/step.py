@@ -55,9 +55,47 @@ def make_train_step(
     cfg: GlowConfig, tx: optax.GradientTransformation, ema_decay: float = 0.0
 ):
     """Returns jitted (state, image_batch[, y_onehot]) -> (state, metrics)."""
+    return jax.jit(_make_train_step_fn(cfg, tx, ema_decay), donate_argnums=(0,))
+
+
+def make_train_step_n(
+    cfg: GlowConfig,
+    tx: optax.GradientTransformation,
+    n: int,
+    ema_decay: float = 0.0,
+):
+    """N train steps chained in ONE jit dispatch via lax.fori_loop.
+
+    Amortizes host->device dispatch latency (worth 20-200 ms/step behind
+    network-attached TPUs, ~ms on pods).  `batches` is the stacked
+    (N, B, H, W, C) uint8/float array; per-step RNG still derives from
+    fold_in(rng, global_step), so the trajectory is IDENTICAL to n separate
+    calls of the single-step function.  Returns the final state and the
+    last step's metrics.
+    """
+    one = _make_train_step_fn(cfg, tx, ema_decay)
+
+    def train_step_n(state: State, batches: jax.Array, y_onehot=None):
+        def body(i, carry):
+            state, _ = carry
+            y_i = None if y_onehot is None else y_onehot[i]
+            return one(state, batches[i], y_i)
+
+        # Run step 0 to establish the metrics structure, then loop the rest.
+        state, metrics = one(
+            state, batches[0], None if y_onehot is None else y_onehot[0]
+        )
+        state, metrics = jax.lax.fori_loop(1, n, body, (state, metrics))
+        return state, metrics
+
+    return jax.jit(train_step_n, donate_argnums=(0,))
+
+
+def _make_train_step_fn(cfg, tx, ema_decay):
+    """The un-jitted single-step body (shared by the jitted wrappers)."""
 
     def train_step(state: State, batch: jax.Array, y_onehot=None):
-        if batch.dtype == jnp.uint8:  # ship uint8 over PCIe, preprocess on-device
+        if batch.dtype == jnp.uint8:
             batch = glow.preprocess(batch, cfg)
         rng = jax.random.fold_in(state["rng"], state["step"])
         trainable, frozen = partition(state["params"])
@@ -81,14 +119,13 @@ def make_train_step(
         }
         if ema_decay > 0:
             d = jnp.asarray(ema_decay, jnp.float32)
-            # Warm-start bias correction: effective decay ramps in.
             d = jnp.minimum(d, (1.0 + state["step"]) / (10.0 + state["step"]))
             new_state["ema"] = jax.tree.map(
                 lambda e, p: e * d + p * (1.0 - d), state["ema"], trainable
             )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
 
 
 def make_eval_step(cfg: GlowConfig):

@@ -49,16 +49,26 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
             if t.profile_step and step == t.profile_step and not profiling:
                 jax.profiler.start_trace(os.path.join(out_dir, "profile"))
                 profiling = True
-            batch = next(built.data)
-            y = _labels_to_onehot(batch, p)
-            state, metrics = built.train_step(state, batch["image"], y)
-            step += 1
-            if step == built.start_step + 1:
+            spc = t.steps_per_call
+            if spc > 1:
+                group = [next(built.data) for _ in range(spc)]
+                batch = group[-1]  # last micro-batch feeds plots/recon
+                images = jax.numpy.stack([b["image"] for b in group])
+                ys = [_labels_to_onehot(b, p) for b in group]
+                y = ys[-1]
+                y_stack = None if ys[0] is None else jax.numpy.stack(ys)
+                state, metrics = built.train_step(state, images, y_stack)
+            else:
+                batch = next(built.data)
+                y = _labels_to_onehot(batch, p)
+                state, metrics = built.train_step(state, batch["image"], y)
+            step += spc
+            if step == built.start_step + spc:
                 # First step paid the jit compile; don't let it skew the
                 # images/sec window.
                 jax.block_until_ready(metrics)
                 logger.throughput.reset_clock()
-            logger.throughput.update()
+            logger.throughput.update(spc)
 
             if profiling and step >= t.profile_step + t.profile_num_steps:
                 jax.tree.map(

@@ -139,3 +139,30 @@ def test_model_summary():
     assert param_count(params) > 1000
     s = summarize(params, cfg)
     assert "params" in s and "GFLOP" in s
+
+
+def test_steps_per_call_identical_trajectory(tmp_path):
+    """N-chained train steps in one jit == N separate dispatches, bitwise."""
+    import jax
+    import numpy as np
+
+    def prof(sub, spc):
+        return micro_profile(tmp_path / sub).replace(
+            train=TrainConfig(batch_size=16, num_steps=8, scalar_log_gap=8,
+                              plot_gap=0, checkpoint_gap=0, seed=5,
+                              steps_per_call=spc),
+        )
+
+    ra = builderlib.build(prof("a", 1))
+    trainerlib.train(ra, quiet=True)
+    rb = builderlib.build(prof("b", 4))
+    res_b = trainerlib.train(rb, quiet=True)
+    assert res_b["final_step"] == 8
+
+    la = jax.tree_util.tree_leaves_with_path(ra.state["params"])
+    lb = dict(jax.tree_util.tree_leaves_with_path(rb.state["params"]))
+    for path, leaf_a in la:
+        np.testing.assert_array_equal(
+            np.asarray(leaf_a), np.asarray(lb[path]),
+            err_msg=jax.tree_util.keystr(path),
+        )
