@@ -166,7 +166,7 @@ PRESETS: dict[str, Profile] = {
             compute_dtype="bfloat16",
             invconv_precision="high",
         ),
-        train=TrainConfig(batch_size=256),
+        train=TrainConfig(batch_size=256, steps_per_call=5),
         data=DataConfig(name="cifar10", image_size=32),
     ),
     "celeba64": Profile(
@@ -179,7 +179,8 @@ PRESETS: dict[str, Profile] = {
             compute_dtype="bfloat16",
             invconv_precision="high",
         ),
-        train=TrainConfig(batch_size=128, sample_temperature=0.7),
+        train=TrainConfig(batch_size=128, sample_temperature=0.7,
+                          steps_per_call=5),
         data=DataConfig(name="celeba", image_size=64),
     ),
     "imagenet64-cond": Profile(
@@ -196,7 +197,7 @@ PRESETS: dict[str, Profile] = {
             invconv_precision="high",
             remat=True,
         ),
-        train=TrainConfig(batch_size=128),
+        train=TrainConfig(batch_size=128, steps_per_call=5),
         data=DataConfig(name="imagenet64", image_size=64),
     ),
     "celebahq256": Profile(
@@ -212,7 +213,8 @@ PRESETS: dict[str, Profile] = {
             remat=True,
             shard_spatial=True,  # H over "model" when mesh.model > 1
         ),
-        train=TrainConfig(batch_size=64, sample_temperature=0.7),
+        train=TrainConfig(batch_size=64, sample_temperature=0.7,
+                          steps_per_call=5),
         data=DataConfig(name="celebahq", image_size=256),
         mesh=MeshConfig(data=-1, model=1),
     ),
