@@ -26,10 +26,10 @@ def micro_profile(tmp_path, **glow_kw) -> Profile:
         optim=OptimConfig(lr=1e-3, warmup_steps=10),
         train=TrainConfig(
             batch_size=16,
-            num_steps=30,
-            scalar_log_gap=10,
+            num_steps=16,
+            scalar_log_gap=8,
             plot_gap=0,
-            checkpoint_gap=10,
+            checkpoint_gap=8,
             num_sample_images=4,
             seed=0,
         ),
@@ -43,17 +43,17 @@ def test_train_loss_decreases_and_resumes(tmp_path):
     built = builderlib.build(p)
     assert not built.resumed
     result = trainerlib.train(built, quiet=True)
-    assert result["final_step"] == 30
+    assert result["final_step"] == 16
     assert np.isfinite(result["loss"])
     # Synthetic uniform-noise images: a flow should quickly approach the
     # ~8 bits/dim entropy of uniform data from a worse init.
     assert result["nll"] < 12.0
 
-    # Resume: a fresh build must restore step 30 from orbax.
+    # Resume: a fresh build must restore step 16 from orbax.
     built2 = builderlib.build(p)
-    assert built2.resumed and built2.start_step == 30
-    result2 = trainerlib.train(built2, num_steps=35, quiet=True)
-    assert result2["final_step"] == 35
+    assert built2.resumed and built2.start_step == 16
+    result2 = trainerlib.train(built2, num_steps=20, quiet=True)
+    assert result2["final_step"] == 20
 
 
 def test_train_nll_improves_from_init(tmp_path):
@@ -62,7 +62,7 @@ def test_train_nll_improves_from_init(tmp_path):
     batch = next(built.data)
     m0 = built.eval_step(built.state["params"], batch["image"])
     nll0 = float(m0["nll"])
-    trainerlib.train(built, num_steps=25, quiet=True)
+    trainerlib.train(built, num_steps=14, quiet=True)
     m1 = built.eval_step(built.state["params"], batch["image"])
     assert float(m1["nll"]) < nll0
 
@@ -103,21 +103,21 @@ def test_resume_is_bitwise_deterministic(tmp_path):
     import numpy as np
 
     pa = micro_profile(tmp_path / "a").replace(
-        train=TrainConfig(batch_size=16, num_steps=10, scalar_log_gap=10,
+        train=TrainConfig(batch_size=16, num_steps=6, scalar_log_gap=6,
                           plot_gap=0, checkpoint_gap=0, seed=3),
     )
     built_a = builderlib.build(pa)
     trainerlib.train(built_a, quiet=True)
 
     pb = micro_profile(tmp_path / "b").replace(
-        train=TrainConfig(batch_size=16, num_steps=10, scalar_log_gap=5,
-                          plot_gap=0, checkpoint_gap=5, seed=3),
+        train=TrainConfig(batch_size=16, num_steps=6, scalar_log_gap=3,
+                          plot_gap=0, checkpoint_gap=3, seed=3),
     )
     built_b = builderlib.build(pb)
-    trainerlib.train(built_b, num_steps=5, quiet=True)
+    trainerlib.train(built_b, num_steps=3, quiet=True)
     built_b2 = builderlib.build(pb)
-    assert built_b2.resumed and built_b2.start_step == 5
-    trainerlib.train(built_b2, num_steps=10, quiet=True)
+    assert built_b2.resumed and built_b2.start_step == 3
+    trainerlib.train(built_b2, num_steps=6, quiet=True)
 
     la = jax.tree_util.tree_leaves_with_path(built_a.state["params"])
     lb = dict(jax.tree_util.tree_leaves_with_path(built_b2.state["params"]))
