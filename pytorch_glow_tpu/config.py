@@ -36,6 +36,7 @@ class GlowConfig:
     remat: bool = False  # jax.checkpoint the per-step scan body
     invconv_impl: str = "xla"  # xla | pallas
     invconv_precision: str = "highest"  # highest | high | default (MXU passes)
+    scan_unroll: int = 1  # lax.scan unroll factor for the K-step loop
     # Spatial GSPMD sharding (the image-model analog of sequence parallelism,
     # SURVEY.md §5): constrain activations to shard H over the "model" axis
     # whenever an ambient mesh is set and H divides. For 256x256/L=6 scale

@@ -124,7 +124,9 @@ def _scan_steps_forward(steps: Params, z, logdet, cfg: GlowConfig, ddi: bool):
 
     if cfg.remat and not ddi:
         body = jax.checkpoint(body)
-    (z, logdet), new_steps = jax.lax.scan(body, (z, logdet), steps)
+    (z, logdet), new_steps = jax.lax.scan(
+        body, (z, logdet), steps, unroll=cfg.scan_unroll
+    )
     return z, logdet, new_steps
 
 
@@ -134,7 +136,7 @@ def _scan_steps_reverse(steps: Params, z, cfg: GlowConfig):
 
     if cfg.remat:
         body = jax.checkpoint(body)
-    z, _ = jax.lax.scan(body, z, steps, reverse=True)
+    z, _ = jax.lax.scan(body, z, steps, reverse=True, unroll=cfg.scan_unroll)
     return z
 
 
