@@ -212,7 +212,7 @@ def permutation_forward(
         if impl == "pallas":
             from pytorch_glow_tpu.ops import invconv_pallas as icp
 
-            y, ld = icp.invconv_lu_forward(x, params["lu"])
+            y, ld = icp.invconv_lu_forward(x, params["lu"], precision)
             if logdet is not None:
                 logdet = logdet + pixels * ld
             return y, logdet

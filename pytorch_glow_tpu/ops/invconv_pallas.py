@@ -206,9 +206,20 @@ _mix_plain.def_partition(
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
-def invconv_lu_forward(x: jax.Array, lu: ic.LUParams) -> tuple[jax.Array, jax.Array]:
-    """y[..., :] = W @ x[..., :]; returns (y, per-pixel logdet scalar)."""
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def invconv_lu_forward(
+    x: jax.Array, lu: ic.LUParams, bwd_precision: str = "highest"
+) -> tuple[jax.Array, jax.Array]:
+    """y[..., :] = W @ x[..., :]; returns (y, per-pixel logdet scalar).
+
+    The kernel forward is ALWAYS exact f32 (round-trip + NLL depend on it);
+    `bwd_precision` selects the MXU pass count of the gradient matmuls only
+    (gradients tolerate 3-pass "high" with ~1e-6 relative error — lets
+    training presets run the kernel without paying 6-pass backward cost).
+    """
     shape = x.shape
     c = shape[-1]
     x2d = x.astype(jnp.float32).reshape(-1, c)
@@ -217,20 +228,21 @@ def invconv_lu_forward(x: jax.Array, lu: ic.LUParams) -> tuple[jax.Array, jax.Ar
     return y.reshape(shape).astype(x.dtype), ic.lu_logdet(lu)
 
 
-def _xla_fwd(x, lu):
+def _xla_fwd(x, lu, precision: str):
     w = ic.lu_assemble(lu)
-    return ic.mix_channels(x, w).astype(x.dtype), ic.lu_logdet(lu)
+    y = ic.mix_channels(x, w, ic.PRECISIONS[precision]).astype(x.dtype)
+    return y, ic.lu_logdet(lu)
 
 
-def _fwd_rule(x, lu):
-    out = invconv_lu_forward(x, lu)
+def _fwd_rule(x, lu, bwd_precision):
+    out = invconv_lu_forward(x, lu, bwd_precision)
     return out, (x, lu)
 
 
-def _bwd_rule(res, g):
+def _bwd_rule(bwd_precision, res, g):
     x, lu = res
     # Differentiate the mathematically-identical XLA path.
-    _, vjp = jax.vjp(_xla_fwd, x, lu)
+    _, vjp = jax.vjp(lambda x, lu: _xla_fwd(x, lu, bwd_precision), x, lu)
     return vjp(g)
 
 

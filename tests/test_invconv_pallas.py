@@ -182,3 +182,26 @@ def test_pallas_train_grads_under_mesh(eight_devices):
     a = g_local["levels"][0]["steps"]["perm"]["lu"].log_s
     b = np.asarray(g_sh["levels"][0]["steps"]["perm"]["lu"].log_s)
     np.testing.assert_allclose(np.asarray(a), b, atol=1e-4)
+
+
+def test_bwd_precision_knob():
+    """Forward stays exact regardless of bwd_precision; "high" grads track
+    the HIGHEST grads closely."""
+    lu = _lu(12, seed=21)
+    x = jax.random.normal(jax.random.key(22), (64, 12))
+
+    y_hi, ld_hi = icp.invconv_lu_forward(x, lu, "highest")
+    y_fast, ld_fast = icp.invconv_lu_forward(x, lu, "high")
+    np.testing.assert_array_equal(np.asarray(y_hi), np.asarray(y_fast))
+    assert float(ld_hi) == float(ld_fast)
+
+    def loss(x, floats, prec):
+        p = lu._replace(l_raw=floats[0], log_s=floats[1])
+        y, ld = icp.invconv_lu_forward(x, p, prec)
+        return jnp.sum(y**2) + 3.0 * ld
+
+    floats = (lu.l_raw, lu.log_s)
+    g_hi = jax.grad(loss, argnums=1)(x, floats, "highest")
+    g_fast = jax.grad(loss, argnums=1)(x, floats, "high")
+    for a, b in zip(g_hi, g_fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
