@@ -35,3 +35,26 @@ def test_bits_per_dim_after_n_steps(tmp_path):
     # Smooth gradients carry ~2-4 bits/dim of true entropy; an 8-bit-floor
     # result means the model learned nothing.
     assert result["nll"] < 6.0, result
+
+
+def test_golden_nll_values():
+    """Golden-number guard: fixed seeds + DDI -> exact bits/dim values.
+
+    Catches silent numerics drift (objective terms, DDI, layer math) that
+    invertibility tests cannot see.  Tolerance allows minor XLA-version
+    noise; a real objective change moves these by whole units.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_glow_tpu.config import GlowConfig
+    from pytorch_glow_tpu.models import glow
+
+    cfg = GlowConfig(image_shape=(8, 8, 3), hidden_channels=16, K=2, L=2)
+    params = glow.init_glow(jax.random.key(42), cfg)
+    u8 = jax.random.randint(jax.random.key(7), (4, 8, 8, 3), 0, 256, jnp.uint8)
+    x = glow.preprocess(u8, cfg)
+    params = glow.ddi_init(params, x, cfg)
+    nll = np.asarray(glow.log_prob(params, x, cfg)["nll"])
+    golden = np.array([8.15714, 8.21657, 8.1152, 8.17326])
+    np.testing.assert_allclose(nll, golden, rtol=1e-3)
