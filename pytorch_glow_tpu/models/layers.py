@@ -138,16 +138,23 @@ def conv2d_zeros_init(c_in: int, c_out: int, kernel: tuple[int, int] = (3, 3)) -
     }
 
 
-def conv2d_zeros_forward(params: Params, x: jax.Array) -> jax.Array:
+def conv2d_zeros_forward(
+    params: Params, x: jax.Array, compute_dtype: jnp.dtype = jnp.float32
+) -> jax.Array:
+    """Zero-init conv; inputs/weights may run bf16 for MXU throughput but
+    accumulation and the exp-scaled output are always f32 (the output feeds
+    shift/scale/logdet math).  Coupling invertibility is unaffected by the
+    compute dtype: forward and reverse evaluate the identical function."""
     y = jax.lax.conv_general_dilated(
-        x,
-        params["w"].astype(x.dtype),
+        x.astype(compute_dtype),
+        params["w"].astype(compute_dtype),
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
     )
-    y = y + params["b"].astype(y.dtype)
-    return y * jnp.exp(params["logs"].astype(y.dtype) * LOGSCALE_FACTOR)
+    y = y + params["b"]
+    return y * jnp.exp(params["logs"] * LOGSCALE_FACTOR)
 
 
 def linear_zeros_init(d_in: int, d_out: int) -> Params:
@@ -277,7 +284,7 @@ def coupling_net_forward(
     h = jax.nn.relu(h)
     h, an2 = conv2d_forward(params["conv2"], h, ddi=ddi)
     h = jax.nn.relu(h)
-    out = conv2d_zeros_forward(params["conv3"], h.astype(jnp.float32))
+    out = conv2d_zeros_forward(params["conv3"], h, compute_dtype=compute_dtype)
     new_params = (
         {"conv1": an1, "conv2": an2, "conv3": params["conv3"]} if ddi else None
     )
