@@ -38,6 +38,8 @@ def parse_args(argv=None):
     p.add_argument("--batches", type=int, default=50, help="batches for delta/nll")
     p.add_argument("--steps", type=int, default=8, help="interpolation steps")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ema", action="store_true",
+                   help="use EMA (Polyak-averaged) params if the snapshot has them")
     p.add_argument("--out-dir", default=None, help="training out-dir (to locate checkpoints)")
     p.add_argument("-o", "--output", default="infer_out.png")
     return p.parse_args(argv)
@@ -61,7 +63,16 @@ def main(argv=None):
     if not built.resumed:
         print("[infer] warning: no checkpoint found — using fresh (DDI-less) params",
               file=sys.stderr)
-    inferer = Inferer(built.state["params"], prof.glow)
+    params = built.state["params"]
+    if args.ema:
+        from pytorch_glow_tpu.train.step import ema_params
+
+        if "ema" in built.state:
+            params = ema_params(built.state)
+        else:
+            print("[infer] warning: --ema requested but snapshot has no EMA state",
+                  file=sys.stderr)
+    inferer = Inferer(params, prof.glow)
     rng = jax.random.key(args.seed)
 
     if args.op == "sample":

@@ -133,3 +133,37 @@ def test_sampled_latent_decode_parity():
     np.testing.assert_allclose(
         np.asarray(xj), zcur.permute(0, 2, 3, 1).numpy(), atol=3e-4
     )
+
+
+def test_y_conditional_parity():
+    """Class-conditional prior + classifier head match torch on identical
+    weights (reference y_condition path)."""
+    cfg = GlowConfig(
+        image_shape=(8, 8, 3), hidden_channels=16, K=2, L=2,
+        y_condition=True, y_classes=7, y_multi_class=False,
+    )
+    params, _ = _nontrivial_params(cfg, seed=21)
+    # Give the conditional projections non-zero weights.
+    rng = np.random.default_rng(5)
+    for key in ("project_ycond", "project_class"):
+        for f in ("w", "b", "logs"):
+            params["top"][key][f] = jnp.asarray(
+                0.05 * rng.standard_normal(params["top"][key][f].shape),
+                jnp.float32,
+            )
+    x = jax.random.uniform(jax.random.key(30), (4, *cfg.image_shape))
+    y = jax.nn.one_hot(jnp.array([0, 2, 4, 6]), 7)
+
+    out_j = glow.log_prob(params, x, cfg, y_onehot=y)
+    _, _, nll_t = torch_ref.log_prob(
+        params, cfg, _nchw(x), torch.from_numpy(np.asarray(y)).float()
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j["nll"]), nll_t.numpy(), rtol=2e-4, atol=2e-4
+    )
+    logits_t = torch_ref.classify(
+        params, torch.from_numpy(np.asarray(out_j["z"])).permute(0, 3, 1, 2)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j["y_logits"]), logits_t.numpy(), atol=2e-4
+    )

@@ -218,19 +218,32 @@ def decode(params, cfg, z, z_splits):
     return z
 
 
-def top_prior(params, cfg, batch):
+def linear_zeros(p, x):
+    y = x @ _t(p["w"]) + _t(p["b"])
+    return y * torch.exp(_t(p["logs"]) * 3.0)
+
+
+def top_prior(params, cfg, batch, y_onehot=None):
     c = cfg.final_latent_shape[-1]
     h = torch.zeros(batch, 2 * c, 1, 1)
     if cfg.learn_top:
         h = conv2d_zeros(params["top"]["learn_top"], h)
+    if cfg.y_condition:
+        yp = linear_zeros(params["top"]["project_ycond"], y_onehot)
+        h = h + yp.view(batch, 2 * c, 1, 1)
     return split_ch(h, "simple")
 
 
-def log_prob(params, cfg, x):
+def classify(params, z):
+    pooled = z.mean(dim=(2, 3))
+    return linear_zeros(params["top"]["project_class"], pooled)
+
+
+def log_prob(params, cfg, x, y_onehot=None):
     """x in [0,1) NCHW -> (z, objective, nll bits/dim).  No dequant noise."""
     dims = int(np.prod(x.shape[1:]))
     z, logdet, _ = encode(params, cfg, x)
-    mean, logs = top_prior(params, cfg, x.shape[0])
+    mean, logs = top_prior(params, cfg, x.shape[0], y_onehot)
     objective = logdet + gaussian_logp(mean, logs, z) - dims * math.log(cfg.n_bins)
     nll = -objective / (math.log(2.0) * dims)
     return z, objective, nll
