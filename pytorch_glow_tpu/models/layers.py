@@ -151,9 +151,11 @@ def conv2d_zeros_forward(
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    y = y + params["b"]
+    # Upcast AFTER the conv (TPU convs accumulate f32 internally either way;
+    # preferred_element_type here would make the autodiff transpose conv
+    # mixed-dtype and fail to lower).
+    y = y.astype(jnp.float32) + params["b"]
     return y * jnp.exp(params["logs"] * LOGSCALE_FACTOR)
 
 

@@ -193,3 +193,25 @@ def test_deep_multiscale_L4():
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
     imgs = glow.sample(params, jax.random.key(23), cfg, n=2, temperature=0.5)
     assert imgs.shape == (2, 16, 16, 3)
+
+
+def test_bf16_training_grads():
+    """bf16 coupling compute must be trainable (CPU-runnable guard for the
+    dtype path the TPU presets use; caught a mixed-dtype transpose-conv
+    regression that f32-only tests missed)."""
+    from pytorch_glow_tpu.utils.tree import merge, partition
+
+    cfg = GlowConfig(image_shape=(8, 8, 3), hidden_channels=16, K=2, L=2,
+                     compute_dtype="bfloat16", invconv_precision="high")
+    params = glow.init_glow(jax.random.key(30), cfg)
+    x = jax.random.uniform(jax.random.key(31), (4, 8, 8, 3))
+    params = glow.ddi_init(params, x, cfg)
+    trainable, frozen = partition(params)
+
+    def loss(tr):
+        l, _ = glow.loss_fn(merge(tr, frozen), x, cfg, rng=jax.random.key(32))
+        return l
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(trainable)
+    assert bool(jnp.isfinite(val))
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in jax.tree.leaves(grads))
