@@ -114,13 +114,31 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
                     import itertools
 
                     eval_params = steplib.ema_params(state)
+                    eval_batches = list(itertools.islice(eval_it, t.eval_batches))
                     nlls = [
                         float(built.eval_step(eval_params, b["image"],
                                               _labels_to_onehot(b, p))["nll"])
-                        for b in itertools.islice(eval_it, t.eval_batches)
+                        for b in eval_batches
                     ]
                     if nlls:
-                        logger.scalars(step, {"eval_nll": float(np.mean(nlls))})
+                        ev = {"eval_nll": float(np.mean(nlls))}
+                        # Round-trip drift guard: decode(encode(x)) must stay
+                        # within one uint8 quantization bin (north-star
+                        # exactness, checked continuously in production).
+                        xb = np.asarray(eval_batches[0]["image"][: t.num_sample_images])
+                        rec = np.asarray(
+                            built.reconstruct_fn(state["params"], xb)
+                        )
+                        if xb.dtype != np.uint8:
+                            xb = np.asarray(
+                                jax.device_get(
+                                    steplib.glow.postprocess(jax.numpy.asarray(xb), p.glow)
+                                )
+                            )
+                        ev["recon_err_max_u8"] = float(
+                            np.abs(xb.astype(np.int16) - rec.astype(np.int16)).max()
+                        )
+                        logger.scalars(step, ev)
 
             if built.ckpt is not None and t.checkpoint_gap and step % t.checkpoint_gap == 0:
                 built.ckpt.save(step, state)
