@@ -119,10 +119,13 @@ def main(argv=None):
         return
 
     if args.op == "nll":
+        from pytorch_glow_tpu.train.builder import _labels_to_onehot
+
         total, count = 0.0, 0
         it = itertools.chain([batch], built.data)
         for b in itertools.islice(it, args.batches):
-            nll = inferer.nll(np.asarray(b["image"]))
+            # y-conditional profiles need y_onehot for the prior shift.
+            nll = inferer.nll(np.asarray(b["image"]), _labels_to_onehot(b, prof))
             total += float(nll.sum())
             count += nll.shape[0]
         print(f"nll: {total / count:.4f} bits/dim over {count} images")

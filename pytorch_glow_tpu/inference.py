@@ -162,3 +162,16 @@ class Inferer:
         ts = jnp.linspace(0.0, 1.0, steps)[:, None, None, None]
         zs = (1.0 - ts) * za[None] + ts * zb[None]
         return self.decode(zs, temperature=temperature)
+
+    def interpolate_full(self, img_a, img_b, steps: int = 8) -> np.ndarray:
+        """Interpolate in the FULL latent space (z_L plus every Split2d half):
+        endpoints reproduce the inputs exactly (reconstruction round-trip),
+        intermediate frames morph deterministically."""
+        za, sa = self.encode_full(jnp.asarray(img_a)[None])
+        zb, sb = self.encode_full(jnp.asarray(img_b)[None])
+        ts = jnp.linspace(0.0, 1.0, steps)[:, None, None, None]
+
+        def lerp(a, b):
+            return (1.0 - ts) * a[0][None] + ts * b[0][None]
+
+        return self.decode_full(lerp(za, zb), [lerp(a, b) for a, b in zip(sa, sb)])

@@ -214,9 +214,14 @@ def permutation_forward(
     if kind == "fixed":
         # One-hot matmul instead of a traced channel gather: the idx vector
         # is scan-carried (traced), and dynamic gathers on the channel axis
-        # are slow on TPU; a 0/1 matmul rides the MXU and is bit-exact.
+        # are slow on TPU; a 0/1 matmul rides the MXU.  HIGHEST precision so
+        # the permutation stays bit-exact on TPU (default precision would
+        # round activations through bf16).
         pmat = jax.nn.one_hot(params["idx"], x.shape[-1], dtype=x.dtype)
-        return jnp.einsum("...i,ji->...j", x, pmat), logdet
+        return (
+            jnp.einsum("...i,ji->...j", x, pmat, precision=jax.lax.Precision.HIGHEST),
+            logdet,
+        )
     if kind == "lu":
         if impl == "pallas":
             from pytorch_glow_tpu.ops import invconv_pallas as icp
@@ -244,7 +249,9 @@ def permutation_reverse(
 ) -> jax.Array:
     if kind == "fixed":
         pmat = jax.nn.one_hot(params["inv_idx"], z.shape[-1], dtype=z.dtype)
-        return jnp.einsum("...i,ji->...j", z, pmat)
+        return jnp.einsum(
+            "...i,ji->...j", z, pmat, precision=jax.lax.Precision.HIGHEST
+        )
     if kind == "lu":
         if impl == "pallas":
             from pytorch_glow_tpu.ops import invconv_pallas as icp

@@ -21,8 +21,9 @@ import numpy as np
 
 
 class CsvWriter:
-    """CSV scalars with a growable schema: late-appearing metrics (e.g. a
-    periodic eval_nll) extend the header by rewriting the small file."""
+    """CSV scalars with a growable schema: rows append in O(1); only a
+    late-appearing metric (e.g. a periodic eval_nll) extending the header
+    triggers a one-off rewrite of the file."""
 
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -35,16 +36,25 @@ class CsvWriter:
                 self._fields = list(reader.fieldnames or [])
                 self._rows = list(reader)
 
-    def scalars(self, step: int, values: dict[str, float]) -> None:
-        row = {"step": step, **{k: float(v) for k, v in values.items()}}
-        for k in row:
-            if k not in self._fields:
-                self._fields.append(k)
-        self._rows.append(row)
+    def _rewrite(self) -> None:
         with open(self.path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._fields, restval="")
             w.writeheader()
             w.writerows(self._rows)
+
+    def scalars(self, step: int, values: dict[str, float]) -> None:
+        row = {"step": step, **{k: float(v) for k, v in values.items()}}
+        grew = False
+        for k in row:
+            if k not in self._fields:
+                self._fields.append(k)
+                grew = True
+        self._rows.append(row)
+        if grew or not os.path.isfile(self.path):
+            self._rewrite()
+        else:
+            with open(self.path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._fields, restval="").writerow(row)
 
     def close(self) -> None:
         pass

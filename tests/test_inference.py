@@ -73,9 +73,28 @@ def test_interpolate_endpoints():
     b = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
     seq = inf.interpolate(a, b, steps=5)
     assert seq.shape == (5, 8, 8, 3)
-    # Endpoints should roughly reproduce the inputs (T=0 decode; split halves
-    # are re-drawn from prior means so only coarse agreement is guaranteed).
     assert np.isfinite(seq).all()
+
+
+def test_interpolate_full_endpoints_exact():
+    """Full-latent interpolation endpoints == the exact reconstructions."""
+    inf = _inferer()
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    seq = inf.interpolate_full(a, b, steps=4)
+    assert seq.shape == (4, 8, 8, 3)
+
+    def max_u8_err(x, y):
+        return int(np.abs(x.astype(np.int16) - y.astype(np.int16)).max())
+
+    # Endpoints == the inputs to within one uint8 quantization bin (the same
+    # bound as the trainer's continuous recon_err_max_u8 drift guard; float
+    # round-trip error can flip a pixel sitting exactly on a bin boundary).
+    assert max_u8_err(seq[0], a) <= 1
+    assert max_u8_err(seq[-1], b) <= 1
+    rec_a = inf.reconstruct(a[None])[0]
+    assert max_u8_err(rec_a, a) <= 1
 
 
 def test_nll_matches_log_prob():

@@ -21,7 +21,7 @@ def _jac_logdet(fn, x):
         return fn(v.reshape(x.shape)).reshape(-1)
 
     j = jax.jacfwd(flat_fn)(flat)
-    sign, logdet = jnp.linalg.slogdet(j.astype(jnp.float64) if False else j)
+    _, logdet = jnp.linalg.slogdet(j)
     return logdet
 
 
