@@ -113,8 +113,15 @@ class DataConfig:
     name: str = "cifar10"  # cifar10 | celeba | imagenet64 | synthetic
     root: str = ""
     image_size: int = 32
-    num_workers: int = 8
+    num_workers: int = 8  # decode threads (native/thread-pool path)
     prefetch: int = 2
+    # Host loader: "auto" = Grain for on-disk datasets when available,
+    # indexed in-memory fallback otherwise; "native" = never Grain;
+    # "grain" = require Grain (error if no source).
+    loader: str = "auto"
+    # Grain worker PROCESSES (0 = in-process).  Raise on hosts with spare
+    # cores so JPEG decode overlaps device compute across processes.
+    grain_workers: int = 0
 
 
 @dataclass(frozen=True)

@@ -10,7 +10,6 @@ on-device inside the jitted step.
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -18,6 +17,7 @@ import numpy as np
 from pytorch_glow_tpu.config import DataConfig, GlowConfig, TrainConfig
 
 ATTR_FILE = "list_attr_celeba.txt"
+PARTITION_FILE = "list_eval_partition.txt"
 
 
 def parse_attr_file(path: str) -> tuple[list[str], dict[str, np.ndarray], list[str]]:
@@ -49,10 +49,26 @@ def _load_image(path: str, size: int) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
-class CelebAFolder:
-    """Indexable dataset: images dir (+ optional attr file) on disk."""
+def parse_partition_file(path: str) -> dict[str, int]:
+    """Standard CelebA split file: filename -> 0 (train) / 1 (val) / 2 (test)."""
+    out: dict[str, int] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2:
+                out[parts[0]] = int(parts[1])
+    return out
 
-    def __init__(self, root: str, image_size: int):
+
+class CelebAFolder:
+    """Indexable dataset: images dir (+ optional attr file) on disk.
+
+    `split` uses the official list_eval_partition.txt when present; without
+    it, a deterministic last-5%-by-filename holdout serves as the test set
+    so eval never sees training images.
+    """
+
+    def __init__(self, root: str, image_size: int, split: str = "train"):
         self.image_size = image_size
         img_dir = None
         for cand in (os.path.join(root, "img_align_celeba"), root):
@@ -79,6 +95,25 @@ class CelebAFolder:
             if os.path.isfile(p):
                 _, self.attrs, self.attr_names = parse_attr_file(p)
                 break
+        # Split discipline: official partition file, else last-5% holdout.
+        part_candidates = [
+            os.path.join(root, PARTITION_FILE),
+            os.path.join(os.path.dirname(root.rstrip("/")), PARTITION_FILE),
+        ]
+        partition = None
+        for p in part_candidates:
+            if os.path.isfile(p):
+                partition = parse_partition_file(p)
+                break
+        if partition is not None:
+            want = {0} if split == "train" else {2}
+            picked = [f for f in self.files if partition.get(f, 0) in want]
+            if picked:  # partition file may not cover synthetic test trees
+                self.files = picked
+        elif split != "train":
+            self.files = self.files[-max(1, len(self.files) // 20) :]
+        elif len(self.files) >= 20:
+            self.files = self.files[: -len(self.files) // 20]
 
     def __len__(self) -> int:
         return len(self.files)
@@ -95,46 +130,59 @@ def celeba_batches(
     glow_cfg: GlowConfig,
     train_cfg: TrainConfig,
     split: str = "train",
-) -> Iterator[dict] | None:
-    """Infinite shuffled uint8 batches with thread-pool decode, or None if
+):
+    """Shuffled uint8 batches with thread-pool (or native C++) decode;
+    infinite for train, one epoch for test; O(1)-resumable.  Returns None if
     the dataset is not on disk."""
+    from pytorch_glow_tpu.data import native_loader as nl
+    from pytorch_glow_tpu.data.pipeline import (
+        IndexedBatches,
+        _proc_slice,
+        _process_rows,
+        epoch_permutation,
+    )
+
     try:
-        ds = CelebAFolder(data_cfg.root, data_cfg.image_size)
+        ds = CelebAFolder(data_cfg.root, data_cfg.image_size, split)
     except (FileNotFoundError, NotADirectoryError):
         return None
 
-    from pytorch_glow_tpu.data import native_loader as nl
-
     use_native = nl.available()
+    pool = None if use_native else ThreadPoolExecutor(
+        max_workers=max(1, data_cfg.num_workers)
+    )
+    bs = train_cfg.batch_size
+    n = len(ds)
+    bpe = n // bs  # full batches per epoch (drop remainder)
+    if bpe == 0:
+        return None
+    shuffle = split == "train"
+    pidx, pcount = _proc_slice()
+    lo, hi = _process_rows(bs, pidx, pcount)
 
-    def gen():
-        rng = np.random.default_rng(train_cfg.seed)
-        bs = train_cfg.batch_size
-        pool = None if use_native else ThreadPoolExecutor(
-            max_workers=max(1, data_cfg.num_workers)
-        )
-        n = len(ds)
-        while True:
-            order = rng.permutation(n)
-            for i in range(0, n - bs + 1, bs):
-                idx = order[i : i + bs]
-                if use_native:
-                    # GIL-free C++ decode+crop+resize batch assembly.
-                    paths = [os.path.join(ds.img_dir, ds.files[j]) for j in idx]
-                    batch = {
-                        "image": nl.decode_batch(
-                            paths, ds.image_size, threads=data_cfg.num_workers
-                        )
-                    }
-                    if ds.attrs is not None:
-                        batch["attr"] = np.stack(
-                            [ds.attrs[ds.files[j]] for j in idx]
-                        )
-                else:
-                    results = list(pool.map(ds.get, idx))
-                    batch = {"image": np.stack([r[0] for r in results])}
-                    if results[0][1] is not None:
-                        batch["attr"] = np.stack([r[1] for r in results])
-                yield batch
+    def batch_at(i: int):
+        # Test split cycles deterministically (periodic eval islices a few
+        # batches per eval); train shuffles per epoch.
+        epoch, k = divmod(i, bpe)
+        order = epoch_permutation(train_cfg.seed, epoch, n, shuffle)
+        idx = order[k * bs : (k + 1) * bs]
+        if pcount > 1:
+            idx = idx[lo:hi]  # this process decodes only its rows
+        if use_native:
+            # GIL-free C++ decode+crop+resize batch assembly.
+            paths = [os.path.join(ds.img_dir, ds.files[j]) for j in idx]
+            batch = {
+                "image": nl.decode_batch(
+                    paths, ds.image_size, threads=data_cfg.num_workers
+                )
+            }
+            if ds.attrs is not None:
+                batch["attr"] = np.stack([ds.attrs[ds.files[j]] for j in idx])
+        else:
+            results = list(pool.map(ds.get, idx))
+            batch = {"image": np.stack([r[0] for r in results])}
+            if results[0][1] is not None:
+                batch["attr"] = np.stack([r[1] for r in results])
+        return batch
 
-    return gen()
+    return IndexedBatches(batch_at)

@@ -1,11 +1,15 @@
 """Grain-based input pipeline (north-star: "tf.data/Grain host pipeline
 with device prefetch").
 
-Wraps the same dataset sources as data/pipeline.py in a `grain.DataLoader`
-— deterministic global shuffling, worker-process parallelism, and
-checkpointable iteration state — for users who want the production Grain
-path instead of the built-in thread-pool loader.  Optional: everything
-degrades to data/pipeline.py when grain is not installed.
+This is the PRODUCTION loader for on-disk datasets (`DataConfig.loader`
+"auto"/"grain"; pipeline.make_dataset dispatches here): `grain.DataLoader`
+gives deterministic global shuffling, optional worker-PROCESS decode
+(`DataConfig.grain_workers`), per-process record sharding under
+`jax.process_count() > 1`, and checkpointable iteration state —
+`GrainIterator` exposes the same `get_state`/`set_state` surface as the
+indexed fallback path, so Orbax resume restores the exact stream position
+in O(1).  Everything degrades to data/pipeline.py when grain is not
+installed or no source exists on disk.
 """
 
 from __future__ import annotations
@@ -41,6 +45,15 @@ class _ArraySource:
             rec["label"] = self._labels[idx]
         return rec
 
+    def __repr__(self) -> str:
+        # Stable across instances: grain validates `repr(data_source)` when
+        # restoring iterator state.
+        return (
+            f"_ArraySource(n={self._images.shape[0]}, "
+            f"shape={self._images.shape[1:]}, "
+            f"labels={self._labels is not None})"
+        )
+
 
 class _FolderSource:
     """grain source over an on-disk image folder (native C++ decode)."""
@@ -59,6 +72,76 @@ class _FolderSource:
             rec["attr"] = attr
         return rec
 
+    def __repr__(self) -> str:
+        return (
+            f"_FolderSource(n={len(self.folder)}, size={self.image_size}, "
+            f"dir={getattr(self.folder, 'img_dir', '?')})"
+        )
+
+
+class GrainIterator:
+    """Uniform checkpointable-iterator facade over a grain DataLoader.
+
+    get_state/set_state carry grain's native opaque state (bytes) under the
+    same protocol the indexed pipeline uses, so the Builder/CheckpointManager
+    treat both loaders identically.
+    """
+
+    def __init__(self, loader):
+        self._it = iter(loader)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._it)
+
+    def get_state(self) -> dict:
+        return {"grain": self._it.get_state()}
+
+    def set_state(self, state: dict) -> None:
+        raw = state["grain"]
+        if isinstance(raw, str):
+            raw = raw.encode()
+        self._it.set_state(raw)
+
+
+def _make_source(
+    data_cfg: DataConfig,
+    glow_cfg: GlowConfig,
+    train_cfg: TrainConfig,
+    split: str,
+):
+    if data_cfg.name == "cifar10":
+        from pytorch_glow_tpu.data.pipeline import load_cifar10
+
+        loaded = load_cifar10(data_cfg.root, split)
+        if loaded is not None:
+            return _ArraySource(*loaded)
+    elif data_cfg.name == "imagenet64":
+        from pytorch_glow_tpu.data.pipeline import load_imagenet_npz
+
+        loaded = load_imagenet_npz(data_cfg.root, data_cfg.image_size, split)
+        if loaded is not None:
+            return _ArraySource(*loaded)
+    elif data_cfg.name in ("celeba", "celebahq"):
+        from pytorch_glow_tpu.data.celeba import CelebAFolder
+
+        try:
+            return _FolderSource(
+                CelebAFolder(data_cfg.root, data_cfg.image_size, split),
+                data_cfg.image_size,
+            )
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+    elif data_cfg.name in ("synthetic", "synthetic_smooth"):
+        rng = np.random.default_rng(train_cfg.seed)
+        h, w, c = glow_cfg.image_shape
+        images = rng.integers(0, 256, (max(2048, train_cfg.batch_size * 4), h, w, c),
+                              dtype=np.uint8)
+        return _ArraySource(images, None)
+    return None
+
 
 def make_grain_loader(
     data_cfg: DataConfig,
@@ -66,49 +149,56 @@ def make_grain_loader(
     train_cfg: TrainConfig,
     split: str = "train",
 ) -> Any | None:
-    """-> iterable of {"image": uint8 (B,H,W,C), ...} or None (unavailable).
+    """-> grain.DataLoader of {"image": uint8 (B,H,W,C), ...} batches or
+    None (grain missing / no source on disk).
 
-    Deterministic under `train_cfg.seed`; iteration state can be
-    checkpointed via grain's standard mechanisms.
+    Deterministic under `train_cfg.seed`.  Under `jax.process_count() > 1`
+    records are sharded across processes (disjoint reads) and each process
+    batches its share of the global batch.
     """
     if not GRAIN_AVAILABLE:
         return None
-
-    source = None
-    if data_cfg.name == "cifar10":
-        from pytorch_glow_tpu.data.pipeline import load_cifar10
-
-        loaded = load_cifar10(data_cfg.root, split)
-        if loaded is not None:
-            source = _ArraySource(*loaded)
-    elif data_cfg.name in ("celeba", "celebahq"):
-        from pytorch_glow_tpu.data.celeba import CelebAFolder
-
-        try:
-            source = _FolderSource(
-                CelebAFolder(data_cfg.root, data_cfg.image_size), data_cfg.image_size
-            )
-        except (FileNotFoundError, NotADirectoryError):
-            source = None
-    elif data_cfg.name in ("synthetic", "synthetic_smooth"):
-        rng = np.random.default_rng(train_cfg.seed)
-        h, w, c = glow_cfg.image_shape
-        images = rng.integers(0, 256, (max(2048, train_cfg.batch_size * 4), h, w, c),
-                              dtype=np.uint8)
-        source = _ArraySource(images, None)
+    source = _make_source(data_cfg, glow_cfg, train_cfg, split)
     if source is None:
         return None
 
+    from pytorch_glow_tpu.data.pipeline import _proc_slice
+
+    pidx, pcount = _proc_slice()
+    shard = (
+        grain.ShardOptions(shard_index=pidx, shard_count=pcount, drop_remainder=True)
+        if pcount > 1
+        else grain.NoSharding()
+    )
+    assert train_cfg.batch_size % pcount == 0, (train_cfg.batch_size, pcount)
     sampler = grain.IndexSampler(
         num_records=len(source),
-        shard_options=grain.NoSharding(),
+        shard_options=shard,
         shuffle=split == "train",
-        num_epochs=None if split == "train" else 1,
+        # Test split cycles unshuffled (periodic eval islices a few batches
+        # per eval across the run).
+        num_epochs=None,
         seed=train_cfg.seed,
     )
     return grain.DataLoader(
         data_source=source,
         sampler=sampler,
-        operations=[grain.Batch(train_cfg.batch_size, drop_remainder=True)],
-        worker_count=0,  # in-process; raise for multi-worker decode
+        operations=[grain.Batch(train_cfg.batch_size // pcount, drop_remainder=True)],
+        worker_count=data_cfg.grain_workers,
     )
+
+
+def make_grain_iterator(
+    data_cfg: DataConfig,
+    glow_cfg: GlowConfig,
+    train_cfg: TrainConfig,
+    split: str = "train",
+) -> GrainIterator | None:
+    """The production entry point used by pipeline.make_dataset: a grain
+    loader wrapped in the uniform checkpointable-iterator protocol, or None
+    when grain/the source is unavailable.  Synthetic data never routes here
+    (the indexed generator is already deterministic and O(1)-resumable)."""
+    if data_cfg.name in ("synthetic", "synthetic_smooth"):
+        return None
+    loader = make_grain_loader(data_cfg, glow_cfg, train_cfg, split)
+    return GrainIterator(loader) if loader is not None else None

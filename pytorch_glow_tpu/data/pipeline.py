@@ -1,16 +1,30 @@
-"""Host data pipeline -> device (HBM) prefetch.
+"""Host data pipeline -> device (HBM) prefetch, with O(1) checkpointable
+iterator state and multi-host batch assembly.
 
-The reference uses torch DataLoader fork-workers (SURVEY.md §2.1 #4, §3.1).
-TPU-native shape: a host-side iterator yielding uint8 NHWC numpy batches
-(uint8 over PCIe = 4x less transfer than f32; dequantize/normalize run
-on-device inside the jitted step), a thread-pool for image decode, and a
-small device-side prefetch queue so host IO overlaps device compute.
+The reference uses torch DataLoader fork-workers (SURVEY.md §2.1 #4, §3.1)
+and cannot resume its stream position.  TPU-native shape:
+
+* Every built-in source is **index-addressable**: `batch_at(i)` derives the
+  i-th global batch in O(1) from (seed, i) — per-epoch permutations come
+  from `SeedSequence((seed, epoch))` — so the whole stream's state is ONE
+  integer.  Resume is `set_state({"next_index": k})`, not an O(k) replay.
+* Batches are uint8 NHWC numpy (uint8 over PCIe = 4x less transfer than
+  f32; dequantize/normalize run on-device inside the jitted step).
+* `device_prefetch` moves batches to HBM on a background thread, overlapping
+  host IO with device compute.  Under `jax.process_count() > 1` each process
+  loads only ITS rows of the global batch and the prefetcher assembles the
+  global array via `jax.make_array_from_process_local_data`.
+* The production loader for on-disk datasets is Grain (grain_pipeline.py;
+  deterministic global shuffle, multi-worker decode, checkpointable state);
+  these in-memory/indexed sources are the zero-dependency fallback and the
+  path for synthetic data.
 
 Datasets:
 * synthetic  — deterministic random uint8 images (+labels), for smoke tests
                and benchmarks on machines with no datasets on disk.
 * cifar10    — the standard python-pickle batches if present under root.
 * celeba     — image folder + 40-attribute file (data/celeba.py).
+* imagenet64 — downsampled-ImageNet npz shards.
 """
 
 from __future__ import annotations
@@ -19,7 +33,6 @@ import os
 import pickle
 import queue
 import threading
-from collections.abc import Iterator
 from typing import Any, Callable
 
 import jax
@@ -29,10 +42,90 @@ from pytorch_glow_tpu.config import DataConfig, GlowConfig, TrainConfig
 
 Batch = dict[str, np.ndarray]
 
+# Seed-stream tags so train/test and DDI draws never collide.
+TEST_SEED_OFFSET = 0x7E57
+
+
+# ---------------------------------------------------------------------------
+# Checkpointable indexed iterator
+# ---------------------------------------------------------------------------
+
+
+class IndexedBatches:
+    """Iterator over an O(1) index-addressable batch function.
+
+    `batch_at(i)` returns the i-th batch, or None for end-of-stream (finite
+    eval splits).  State is the single integer `next_index`: `get_state` /
+    `set_state` make resume O(1) — no replay of decoded batches.
+    """
+
+    def __init__(self, batch_at: Callable[[int], Batch | None], start: int = 0):
+        self._batch_at = batch_at
+        self._i = start
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Batch:
+        b = self._batch_at(self._i)
+        if b is None:
+            raise StopIteration
+        self._i += 1
+        return b
+
+    def get_state(self) -> dict:
+        return {"next_index": self._i}
+
+    def set_state(self, state: dict) -> None:
+        self._i = int(state["next_index"])
+
+
+def _process_rows(global_batch: int, pidx: int, pcount: int) -> tuple[int, int]:
+    """Row range [lo, hi) of the global batch owned by process `pidx`."""
+    assert global_batch % pcount == 0, (global_batch, pcount)
+    per = global_batch // pcount
+    return pidx * per, (pidx + 1) * per
+
+
+def _proc_slice() -> tuple[int, int]:
+    """(process_index, process_count) — (0, 1) single-process."""
+    try:
+        return jax.process_index(), jax.process_count()
+    except RuntimeError:  # backend not initialized yet
+        return 0, 1
+
 
 # ---------------------------------------------------------------------------
 # Synthetic
 # ---------------------------------------------------------------------------
+
+
+def _synthetic_batch(
+    i: int,
+    batch_size: int,
+    image_shape: tuple[int, int, int],
+    y_classes: int | None,
+    seed: int,
+    smooth: bool,
+) -> Batch:
+    """The i-th global synthetic batch, derived from (seed, i) in O(1)."""
+    rng = np.random.default_rng(np.random.SeedSequence((seed, i)))
+    h, w, c = image_shape
+    if smooth:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        yy, xx = yy / max(1, h - 1), xx / max(1, w - 1)
+        base = rng.uniform(0, 255, size=(batch_size, 1, 1, c)).astype(np.float32)
+        gy = rng.uniform(-80, 80, size=(batch_size, 1, 1, c)).astype(np.float32)
+        gx = rng.uniform(-80, 80, size=(batch_size, 1, 1, c)).astype(np.float32)
+        img = base + gy * yy[None, :, :, None] + gx * xx[None, :, :, None]
+        img += rng.normal(0, 2.0, size=img.shape).astype(np.float32)
+        image = np.clip(img, 0, 255).astype(np.uint8)
+    else:
+        image = rng.integers(0, 256, size=(batch_size, h, w, c), dtype=np.uint8)
+    batch: Batch = {"image": image}
+    if y_classes:
+        batch["label"] = rng.integers(0, y_classes, size=(batch_size,))
+    return batch
 
 
 def synthetic_batches(
@@ -41,32 +134,22 @@ def synthetic_batches(
     y_classes: int | None = None,
     seed: int = 0,
     smooth: bool = False,
-) -> Iterator[Batch]:
-    """Deterministic random uint8 batches; infinite.
+) -> IndexedBatches:
+    """Deterministic random uint8 batches; infinite, O(1)-resumable.
 
     smooth=False: uniform noise (incompressible; NLL floor = 8 bits/dim —
     useful for throughput/smoke runs).
     smooth=True: per-image color gradients + low noise (highly compressible —
     a flow must drive bits/dim well below 8, used for learning-regression
     tests)."""
-    rng = np.random.default_rng(seed)
-    h, w, c = image_shape
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    yy, xx = yy / max(1, h - 1), xx / max(1, w - 1)
-    while True:
-        if smooth:
-            base = rng.uniform(0, 255, size=(batch_size, 1, 1, c)).astype(np.float32)
-            gy = rng.uniform(-80, 80, size=(batch_size, 1, 1, c)).astype(np.float32)
-            gx = rng.uniform(-80, 80, size=(batch_size, 1, 1, c)).astype(np.float32)
-            img = base + gy * yy[None, :, :, None] + gx * xx[None, :, :, None]
-            img += rng.normal(0, 2.0, size=img.shape).astype(np.float32)
-            image = np.clip(img, 0, 255).astype(np.uint8)
-        else:
-            image = rng.integers(0, 256, size=(batch_size, h, w, c), dtype=np.uint8)
-        batch: Batch = {"image": image}
-        if y_classes:
-            batch["label"] = rng.integers(0, y_classes, size=(batch_size,))
-        yield batch
+    pidx, pcount = _proc_slice()
+    lo, hi = _process_rows(batch_size, pidx, pcount)
+
+    def batch_at(i: int) -> Batch:
+        b = _synthetic_batch(i, batch_size, image_shape, y_classes, seed, smooth)
+        return {k: v[lo:hi] for k, v in b.items()} if pcount > 1 else b
+
+    return IndexedBatches(batch_at)
 
 
 # ---------------------------------------------------------------------------
@@ -100,6 +183,14 @@ def load_cifar10(root: str, split: str = "train") -> tuple[np.ndarray, np.ndarra
     return np.concatenate(imgs).astype(np.uint8), np.concatenate(labels)
 
 
+def epoch_permutation(seed: int, epoch: int, n: int, shuffle: bool) -> np.ndarray:
+    """The global example order for one epoch, derived in O(n) from
+    (seed, epoch) — every process computes the identical permutation."""
+    if not shuffle:
+        return np.arange(n)
+    return np.random.default_rng(np.random.SeedSequence((seed, epoch))).permutation(n)
+
+
 def array_batches(
     images: np.ndarray,
     labels: np.ndarray | None,
@@ -108,21 +199,29 @@ def array_batches(
     shuffle: bool = True,
     drop_remainder: bool = True,
     repeat: bool = True,
-) -> Iterator[Batch]:
-    """Epoch-shuffled batches over in-memory arrays; infinite if repeat."""
+) -> IndexedBatches:
+    """Epoch-shuffled batches over in-memory arrays; infinite if repeat;
+    O(1)-resumable (epoch permutations derive from (seed, epoch))."""
     n = images.shape[0]
-    rng = np.random.default_rng(seed)
-    while True:
-        order = rng.permutation(n) if shuffle else np.arange(n)
-        end = n - (n % batch_size) if drop_remainder else n
-        for i in range(0, end, batch_size):
-            idx = order[i : i + batch_size]
-            b: Batch = {"image": images[idx]}
-            if labels is not None:
-                b["label"] = labels[idx]
-            yield b
-        if not repeat:
-            return
+    end = n - (n % batch_size) if drop_remainder else n
+    bpe = -(-end // batch_size)  # batches per epoch
+    pidx, pcount = _proc_slice()
+    lo, hi = _process_rows(batch_size, pidx, pcount)
+
+    def batch_at(i: int) -> Batch | None:
+        epoch, k = divmod(i, bpe)
+        if not repeat and epoch >= 1:
+            return None
+        order = epoch_permutation(seed, epoch, n, shuffle)
+        idx = order[k * batch_size : min((k + 1) * batch_size, end)]
+        if pcount > 1 and len(idx) == batch_size:
+            idx = idx[lo:hi]  # this process's rows of the global batch
+        b: Batch = {"image": images[idx]}
+        if labels is not None:
+            b["label"] = labels[idx]
+        return b
+
+    return IndexedBatches(batch_at)
 
 
 # ---------------------------------------------------------------------------
@@ -164,26 +263,55 @@ def make_dataset(
     glow_cfg: GlowConfig,
     train_cfg: TrainConfig,
     split: str = "train",
-) -> Iterator[Batch]:
-    """Build the host iterator for a profile; falls back to synthetic with a
-    warning when the real dataset is not on disk (offline environments)."""
+) -> Any:
+    """Build the host iterator for a profile.
+
+    Returns an iterator of {"image": uint8 (B,H,W,C), ...} batches that also
+    exposes `get_state()`/`set_state()` for O(1) checkpoint-resume.  On-disk
+    datasets go through the Grain production loader when `data_cfg.loader`
+    allows (deterministic global shuffle, optional worker processes); the
+    indexed in-memory path is the fallback.  Falls back to synthetic with a
+    warning when the real dataset is not on disk (offline environments).
+    """
     bs = train_cfg.batch_size
+    seed = train_cfg.seed + (TEST_SEED_OFFSET if split != "train" else 0)
     if data_cfg.name in ("synthetic", "synthetic_smooth"):
+        # Held-out synthetic eval draws a DIFFERENT deterministic stream from
+        # the same distribution (seed offset) — a genuine fresh sample.
         return synthetic_batches(
             bs,
             glow_cfg.image_shape,
             glow_cfg.y_classes if glow_cfg.y_condition else None,
-            seed=train_cfg.seed,
+            seed=seed,
             smooth=data_cfg.name == "synthetic_smooth",
         )
+
+    if data_cfg.loader in ("auto", "grain"):
+        from pytorch_glow_tpu.data import grain_pipeline
+
+        it = grain_pipeline.make_grain_iterator(data_cfg, glow_cfg, train_cfg, split)
+        if it is not None:
+            return it
+        if data_cfg.loader == "grain":
+            raise RuntimeError(
+                f"loader='grain' requested but no grain source for "
+                f"'{data_cfg.name}' under root='{data_cfg.root}'"
+            )
+
     if data_cfg.name == "imagenet64":
         loaded = load_imagenet_npz(data_cfg.root, data_cfg.image_size, split)
         if loaded is not None:
-            return array_batches(*loaded, bs, seed=train_cfg.seed, shuffle=split == "train")
+            # Test split: cycle deterministically (the trainer's periodic
+            # eval islices a few batches at a time across evals).
+            return array_batches(
+                *loaded, bs, seed=train_cfg.seed, shuffle=split == "train"
+            )
     if data_cfg.name == "cifar10":
         loaded = load_cifar10(data_cfg.root, split)
         if loaded is not None:
-            return array_batches(*loaded, bs, seed=train_cfg.seed, shuffle=split == "train")
+            return array_batches(
+                *loaded, bs, seed=train_cfg.seed, shuffle=split == "train"
+            )
     if data_cfg.name in ("celeba", "celebahq"):
         from pytorch_glow_tpu.data.celeba import celeba_batches
 
@@ -198,7 +326,7 @@ def make_dataset(
         bs,
         glow_cfg.image_shape,
         glow_cfg.y_classes if glow_cfg.y_condition else None,
-        seed=train_cfg.seed,
+        seed=seed,
     )
 
 
@@ -207,38 +335,131 @@ def make_dataset(
 # ---------------------------------------------------------------------------
 
 
+class DevicePrefetch:
+    """Background thread moves host batches to device (HBM) ahead of
+    consumption, overlapping IO with compute.
+
+    * Under a mesh, batches are placed with the global-batch sharding; with
+      `jax.process_count() > 1` each host batch is this process's local rows
+      and the global array is assembled via
+      `jax.make_array_from_process_local_data` (no cross-host data motion —
+      each chip gets its own rows over PCIe).
+    * Worker exceptions propagate to the consumer with their original type.
+    * `get_state`/`set_state` proxy the inner iterator's checkpoint state,
+      correctly accounting for batches sitting in the prefetch queue (state
+      is captured per-batch at production time and surfaced at consumption
+      time).
+    """
+
+    _STOP = object()
+
+    def __init__(self, it, sharding=None, size: int = 2, transform=None):
+        self._inner = it
+        self._sharding = sharding
+        self._size = size
+        self._transform = transform
+        self._queue: queue.Queue | None = None
+        self._last_state = None
+        self._started = False
+        self._closed = threading.Event()
+
+    # -- checkpoint state -----------------------------------------------------
+
+    def get_state(self):
+        """State of the stream as CONSUMED (not as produced): restoring it
+        yields exactly the batches not yet returned by __next__."""
+        if self._last_state is not None:
+            return self._last_state
+        if hasattr(self._inner, "get_state"):
+            return self._inner.get_state()
+        return None
+
+    def set_state(self, state) -> None:
+        assert not self._started, "set_state must precede iteration"
+        if state is None:
+            return
+        if not hasattr(self._inner, "set_state"):
+            raise ValueError("inner iterator is not checkpointable")
+        self._inner.set_state(state)
+
+    # -- iteration --------------------------------------------------------------
+
+    def _put_device(self, batch):
+        if self._transform is not None:
+            batch = self._transform(batch)
+        sh = self._sharding
+        if sh is None:
+            return jax.device_put(batch)
+        if jax.process_count() > 1:
+            # batch holds this process's rows; build the global array.
+            return jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+                batch,
+            )
+        return jax.device_put(batch, jax.tree.map(lambda _: sh, batch))
+
+    def _worker(self):
+        q = self._queue
+        try:
+            for batch in self._inner:
+                if self._closed.is_set():
+                    return
+                batch = self._put_device(batch)
+                state = (
+                    self._inner.get_state()
+                    if hasattr(self._inner, "get_state")
+                    else None
+                )
+                while not self._closed.is_set():
+                    try:
+                        q.put((batch, state), timeout=0.2)
+                        break
+                    except queue.Full:
+                        pass
+                if self._closed.is_set():
+                    return
+            q.put(self._STOP)
+        except BaseException as e:  # propagate decode/transform errors
+            q.put(e)
+
+    def close(self) -> None:
+        """Stop the background worker (deterministic shutdown for tests /
+        clean process exit).  Safe to call multiple times."""
+        self._closed.set()
+        if self._queue is not None:
+            try:  # unblock a worker stuck on a full queue
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if not self._started:
+            self._queue = queue.Queue(maxsize=self._size)
+            threading.Thread(target=self._worker, daemon=True).start()
+            self._started = True
+        item = self._queue.get()
+        if item is self._STOP:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            # Re-raise the worker's error in the consumer so the trainer sees
+            # the real traceback instead of a bare StopIteration.
+            raise item
+        batch, state = item
+        if state is not None:
+            self._last_state = state
+        return batch
+
+
 def device_prefetch(
-    it: Iterator[Batch],
+    it,
     sharding=None,
     size: int = 2,
     transform: Callable[[Batch], Any] | None = None,
-) -> Iterator[Any]:
-    """Background thread moves host batches to device (with the global-batch
-    sharding under a mesh) ahead of consumption, overlapping IO with compute.
-
-    This is the tf.data/Grain "prefetch to HBM" equivalent from the north
-    star, with no TF dependency on the hot path.
-    """
-    q: queue.Queue = queue.Queue(maxsize=size)
-    stop = object()
-
-    def worker():
-        try:
-            for batch in it:
-                if transform is not None:
-                    batch = transform(batch)
-                if sharding is not None:
-                    batch = jax.device_put(batch, jax.tree.map(lambda _: sharding, batch))
-                else:
-                    batch = jax.device_put(batch)
-                q.put(batch)
-        finally:
-            q.put(stop)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        yield item
+) -> DevicePrefetch:
+    """tf.data/Grain-style "prefetch to HBM" (north star), with no TF
+    dependency on the hot path.  See DevicePrefetch."""
+    return DevicePrefetch(it, sharding=sharding, size=size, transform=transform)

@@ -115,6 +115,7 @@ def build(
     out_dir = os.path.join(profile.out_dir, profile.name)
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"), keep=t.keep_checkpoints)
     latest = ckpt.latest_step()
+    data_resume = None
     if latest is not None:
         restored = ckpt.restore(state)
         if restored is not None:
@@ -122,13 +123,20 @@ def build(
             start_step = int(state["step"])
             resumed = True
             if training and data is not None:
-                # Fast-forward the host stream so a resumed run consumes the
-                # SAME batches an uninterrupted run would have: 1 DDI batch +
-                # start_step train batches were already drawn before the
-                # snapshot.  Makes resume bitwise-deterministic (the reference
-                # reshuffles and silently diverges on restart).
-                for _ in range(start_step + 1):
-                    next(data)
+                # Restore the host-stream position so a resumed run consumes
+                # the SAME batches an uninterrupted run would have — bitwise-
+                # deterministic resume (the reference reshuffles and silently
+                # diverges on restart).  The iterator state saved beside the
+                # snapshot makes this O(1); replay of start_step+1 batches is
+                # the legacy fallback for pre-state checkpoints.
+                saved = ckpt.restore_data_state(start_step)
+                if saved is not None and hasattr(data, "set_state"):
+                    data.set_state(saved)
+                    data_resume = "state"
+                else:
+                    for _ in range(start_step + 1):
+                        next(data)
+                    data_resume = "replay"
     elif training and data is not None:
         # Data-dependent actnorm init on the first host batch (one jitted
         # depth-scan; replaces the reference's first-forward side effect).
@@ -136,6 +144,13 @@ def build(
         x = glow.preprocess(jnp.asarray(first["image"]), g)
         x = glow.dequantize(jax.random.key(t.seed + 1), x, g)
         state["params"] = glow.ddi_init(state["params"], x, g)
+        if "ema" in state:
+            # Re-seed the EMA from the POST-DDI trainables — otherwise early
+            # EMA eval/sampling would blend in the zero actnorm params the
+            # model was initialized with.  jnp.copy: distinct buffers, or the
+            # donated train step would see the same buffer twice.
+            trainable, _ = steplib.partition(state["params"])
+            state["ema"] = jax.tree.map(jnp.copy, trainable)
 
     return Built(
         profile=profile,
@@ -148,7 +163,7 @@ def build(
         reconstruct_fn=reconstruct_fn,
         data=data,
         ckpt=ckpt,
-        extras={"eval_data": eval_data},
+        extras={"eval_data": eval_data, "data_resume": data_resume},
         start_step=start_step,
         resumed=resumed,
     )

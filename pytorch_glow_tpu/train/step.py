@@ -39,7 +39,9 @@ def init_state(
         "rng": rng_train,
     }
     if ema_decay > 0:
-        state["ema"] = jax.tree.map(lambda a: a, trainable)
+        # Distinct buffers (not aliases of params): both trees are donated
+        # to the train step, and XLA rejects donating one buffer twice.
+        state["ema"] = jax.tree.map(jnp.copy, trainable)
     return state
 
 

@@ -23,6 +23,13 @@ from pytorch_glow_tpu.utils.image import save_image_grid
 from pytorch_glow_tpu.utils.metrics import MetricLogger
 
 
+def _data_state(built: Built):
+    """Host-stream position to save beside the snapshot (O(1) resume)."""
+    if built.data is not None and hasattr(built.data, "get_state"):
+        return built.data.get_state()
+    return None
+
+
 def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> dict:
     p = built.profile
     t = p.train
@@ -43,6 +50,7 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
     last_metrics: dict = {}
     t_start = time.perf_counter()
     profiling = False
+    failed = False
 
     try:
         while step < num_steps:
@@ -65,10 +73,11 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
             step += spc
             if step == built.start_step + spc:
                 # First step paid the jit compile; don't let it skew the
-                # images/sec window.
+                # images/sec window (its images are not counted either).
                 jax.block_until_ready(metrics)
                 logger.throughput.reset_clock()
-            logger.throughput.update(spc)
+            else:
+                logger.throughput.update(spc)
 
             if profiling and step >= t.profile_step + t.profile_num_steps:
                 jax.tree.map(
@@ -141,12 +150,19 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
                         logger.scalars(step, ev)
 
             if built.ckpt is not None and t.checkpoint_gap and step % t.checkpoint_gap == 0:
-                built.ckpt.save(step, state)
+                built.ckpt.save(step, state, data_state=_data_state(built))
+    except BaseException:
+        # Do NOT snapshot on the way out of a failure: `state` may reference
+        # donated (deleted) buffers if train_step itself raised, and a
+        # non-finite-loss state would poison --retries auto-resume (the
+        # rolling keep=N window could rotate out the last good snapshot).
+        failed = True
+        raise
     finally:
         if profiling:
             jax.profiler.stop_trace()
-        if built.ckpt is not None:
-            built.ckpt.save(step, state, wait=True)
+        if built.ckpt is not None and not failed:
+            built.ckpt.save(step, state, wait=True, data_state=_data_state(built))
         logger.close()
 
     built.state = state

@@ -9,6 +9,8 @@ Keeps the N latest snapshots, like the reference's rolling snapshots.
 
 from __future__ import annotations
 
+import base64
+import json
 import os
 from typing import Any
 
@@ -21,15 +23,54 @@ class CheckpointManager:
     def __init__(self, directory: str, keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self._keep = keep
+        self._data_dir = os.path.join(self.directory, "data_state")
         options = ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state: Any, wait: bool = False) -> None:
+    def save(
+        self, step: int, state: Any, wait: bool = False, data_state: Any = None
+    ) -> None:
         # jax random keys are typed; store raw uint32 key data alongside.
         savable = _to_savable(state)
         self._mgr.save(step, args=ocp.args.StandardSave(savable))
+        if data_state is not None:
+            self._save_data_state(step, data_state)
         if wait:
             self._mgr.wait_until_finished()
+
+    # -- data-iterator state sidecar ------------------------------------------
+    # The host stream position (IndexedBatches index / grain opaque state)
+    # saved beside the orbax step so resume is O(1) — no batch replay.  A
+    # small JSON per process, rotated like the orbax snapshots.
+
+    def _data_path(self, step: int) -> str:
+        pidx = jax.process_index() if jax.process_count() > 1 else 0
+        return os.path.join(self._data_dir, f"step_{step:010d}.p{pidx}.json")
+
+    def _save_data_state(self, step: int, data_state: Any) -> None:
+        os.makedirs(self._data_dir, exist_ok=True)
+        tmp = self._data_path(step) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(_jsonify(data_state), f)
+        os.replace(tmp, self._data_path(step))
+        # Rotate alongside orbax's max_to_keep window.
+        mine = sorted(
+            f for f in os.listdir(self._data_dir)
+            if f.endswith(".json") and not f.endswith(".tmp")
+        )
+        for stale in mine[: -self._keep * max(1, jax.process_count())]:
+            try:
+                os.remove(os.path.join(self._data_dir, stale))
+            except OSError:
+                pass
+
+    def restore_data_state(self, step: int) -> Any | None:
+        path = self._data_path(step)
+        if not os.path.isfile(path):
+            return None
+        with open(path) as f:
+            return _unjsonify(json.load(f))
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
@@ -49,6 +90,29 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+
+
+def _jsonify(obj: Any) -> Any:
+    """JSON-encode a data-iterator state; bytes (grain) go through base64."""
+    if isinstance(obj, bytes):
+        return {"__b64__": base64.b64encode(obj).decode()}
+    if isinstance(obj, dict):
+        return {k: _jsonify(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonify(v) for v in obj]
+    if isinstance(obj, np.integer):
+        return int(obj)
+    return obj
+
+
+def _unjsonify(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        if set(obj) == {"__b64__"}:
+            return base64.b64decode(obj["__b64__"])
+        return {k: _unjsonify(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_unjsonify(v) for v in obj]
+    return obj
 
 
 def _to_savable(state: Any) -> Any:

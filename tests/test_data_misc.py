@@ -62,6 +62,157 @@ def test_make_dataset_falls_back_to_synthetic(tmp_path, capsys):
     assert "using synthetic data" in capsys.readouterr().out
 
 
+def _fake_cifar10(root, n_per_file=24):
+    """Write tiny CIFAR-10-format pickle batches under root."""
+    import pickle
+
+    rng = np.random.default_rng(0)
+    os.makedirs(root, exist_ok=True)
+    for name in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        entry = {
+            b"data": rng.integers(0, 256, (n_per_file, 3 * 32 * 32), dtype=np.uint8),
+            b"labels": rng.integers(0, 10, (n_per_file,)).tolist(),
+        }
+        with open(os.path.join(root, name), "wb") as f:
+            pickle.dump(entry, f)
+
+
+def test_indexed_iterator_state_resume():
+    """get_state/set_state restore the exact stream position in O(1)."""
+    from pytorch_glow_tpu.data.pipeline import synthetic_batches
+
+    it = synthetic_batches(4, (8, 8, 3), y_classes=5, seed=9)
+    for _ in range(7):
+        next(it)
+    state = it.get_state()
+    want = next(it)
+
+    it2 = synthetic_batches(4, (8, 8, 3), y_classes=5, seed=9)
+    it2.set_state(state)
+    got = next(it2)
+    np.testing.assert_array_equal(got["image"], want["image"])
+    np.testing.assert_array_equal(got["label"], want["label"])
+
+
+def test_array_batches_midepoch_state(tmp_path):
+    """Mid-epoch restore: the epoch permutation re-derives from (seed, epoch)
+    so position k of epoch e is recovered without replay."""
+    from pytorch_glow_tpu.data.pipeline import array_batches
+
+    images = np.arange(40, dtype=np.uint8).reshape(40, 1, 1, 1) * np.ones(
+        (1, 2, 2, 3), np.uint8
+    )
+    labels = np.arange(40)
+    it = array_batches(images, labels, batch_size=8, seed=3)
+    drawn = [next(it) for _ in range(7)]  # crosses into epoch 2 (5 bpe)
+    state = it.get_state()
+    want = next(it)
+
+    it2 = array_batches(images, labels, batch_size=8, seed=3)
+    it2.set_state(state)
+    got = next(it2)
+    np.testing.assert_array_equal(got["image"], want["image"])
+    np.testing.assert_array_equal(got["label"], want["label"])
+    # Epoch 1 covered all 40 examples exactly once.
+    seen = np.concatenate([b["label"] for b in drawn[:5]])
+    assert sorted(seen.tolist()) == list(range(40))
+
+
+def test_make_dataset_dispatches_to_grain(tmp_path):
+    """On-disk datasets route through the Grain production loader under
+    loader='auto', and its iterator state checkpoints/restores."""
+    from pytorch_glow_tpu.data.grain_pipeline import GrainIterator
+    from pytorch_glow_tpu.data.pipeline import make_dataset
+
+    _fake_cifar10(tmp_path)
+    cfg = DataConfig(name="cifar10", root=str(tmp_path), loader="auto")
+    it = make_dataset(cfg, GlowConfig(image_shape=(32, 32, 3)), TrainConfig(batch_size=8))
+    assert isinstance(it, GrainIterator)
+    for _ in range(3):
+        next(it)
+    state = it.get_state()
+    want = next(it)
+
+    it2 = make_dataset(cfg, GlowConfig(image_shape=(32, 32, 3)), TrainConfig(batch_size=8))
+    it2.set_state(state)
+    got = next(it2)
+    np.testing.assert_array_equal(got["image"], want["image"])
+
+    # loader="native" bypasses grain.
+    it3 = make_dataset(
+        DataConfig(name="cifar10", root=str(tmp_path), loader="native"),
+        GlowConfig(image_shape=(32, 32, 3)),
+        TrainConfig(batch_size=8),
+    )
+    assert not isinstance(it3, GrainIterator)
+    assert next(it3)["image"].shape == (8, 32, 32, 3)
+
+
+def test_process_rows_and_sharded_slicing(monkeypatch):
+    """Multi-host: each process draws ITS rows of the identical global batch."""
+    from pytorch_glow_tpu.data import pipeline as pl
+
+    assert pl._process_rows(128, 0, 4) == (0, 32)
+    assert pl._process_rows(128, 3, 4) == (96, 128)
+    with pytest.raises(AssertionError):
+        pl._process_rows(10, 0, 4)
+
+    full = next(pl.synthetic_batches(8, (4, 4, 3), y_classes=3, seed=1))
+    parts = []
+    for pidx in range(2):
+        monkeypatch.setattr(pl, "_proc_slice", lambda p=pidx: (p, 2))
+        it = pl.synthetic_batches(8, (4, 4, 3), y_classes=3, seed=1)
+        b = next(it)
+        assert b["image"].shape[0] == 4
+        parts.append(b)
+    np.testing.assert_array_equal(
+        np.concatenate([p["image"] for p in parts]), full["image"]
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([p["label"] for p in parts]), full["label"]
+    )
+
+
+def test_device_prefetch_state_accounts_for_queue():
+    """Prefetch runs ahead of consumption; get_state must reflect CONSUMED
+    batches only, so a restore hands back exactly the unconsumed stream."""
+    from pytorch_glow_tpu.data.pipeline import device_prefetch, synthetic_batches
+
+    src = synthetic_batches(2, (4, 4, 3), seed=11)
+    pf = device_prefetch(src, size=4)
+    for _ in range(3):
+        next(pf)
+    import time
+
+    time.sleep(0.3)  # let the worker fill the queue well past the consumer
+    state = pf.get_state()
+    assert state == {"next_index": 3}
+    want = next(pf)
+
+    src2 = synthetic_batches(2, (4, 4, 3), seed=11)
+    pf2 = device_prefetch(src2, size=4)
+    pf2.set_state(state)
+    got = next(pf2)
+    np.testing.assert_array_equal(np.asarray(got["image"]), np.asarray(want["image"]))
+    pf.close()
+    pf2.close()
+
+
+def test_device_prefetch_propagates_worker_errors():
+    """An error in the producer thread must surface in the consumer with its
+    original type — not as a silent end-of-stream."""
+    from pytorch_glow_tpu.data.pipeline import device_prefetch
+
+    def bad_source():
+        yield {"image": np.zeros((2, 4, 4, 3), np.uint8)}
+        raise ValueError("decode failed on record 7")
+
+    it = device_prefetch(bad_source(), size=2)
+    next(it)  # first batch is fine
+    with pytest.raises(ValueError, match="decode failed on record 7"):
+        next(it)
+
+
 def test_multihost_env_detection(monkeypatch):
     for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
               "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",

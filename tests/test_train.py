@@ -117,6 +117,8 @@ def test_resume_is_bitwise_deterministic(tmp_path):
     trainerlib.train(built_b, num_steps=3, quiet=True)
     built_b2 = builderlib.build(pb)
     assert built_b2.resumed and built_b2.start_step == 3
+    # Resume restores the saved iterator state in O(1) — no batch replay.
+    assert built_b2.extras["data_resume"] == "state"
     trainerlib.train(built_b2, num_steps=6, quiet=True)
 
     la = jax.tree_util.tree_leaves_with_path(built_a.state["params"])
@@ -127,6 +129,44 @@ def test_resume_is_bitwise_deterministic(tmp_path):
             np.asarray(leaf_a), np.asarray(lb[path]),
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_ema_seeded_from_post_ddi_params(tmp_path):
+    """EMA must start from the POST-DDI trainables, not the zero-actnorm
+    init (otherwise early EMA sampling/eval blends in garbage params)."""
+    import jax
+
+    from pytorch_glow_tpu.utils.tree import partition
+
+    p = micro_profile(tmp_path).replace(
+        train=TrainConfig(batch_size=16, num_steps=4, scalar_log_gap=4,
+                          plot_gap=0, checkpoint_gap=0, ema_decay=0.999),
+    )
+    built = builderlib.build(p)
+    trainable, _ = partition(built.state["params"])
+    leaves_t = jax.tree_util.tree_leaves_with_path(trainable)
+    leaves_e = dict(jax.tree_util.tree_leaves_with_path(built.state["ema"]))
+    assert leaves_t
+    for path, leaf in leaves_t:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(leaves_e[path]),
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_no_checkpoint_save_on_failure(tmp_path):
+    """A crash mid-training must NOT snapshot the (possibly donated /
+    NaN-poisoned) state — --retries would otherwise resume from garbage."""
+    p = micro_profile(tmp_path)
+    built = builderlib.build(p)
+
+    def exploding_step(state, batch, y=None):
+        raise RuntimeError("boom")
+
+    built.train_step = exploding_step
+    with pytest.raises(RuntimeError, match="boom"):
+        trainerlib.train(built, quiet=True)
+    assert built.ckpt.latest_step() is None
 
 
 def test_model_summary():
