@@ -21,10 +21,10 @@ host, cached in bench_baseline_torch.json (regenerate with
 `python scripts/bench_baseline_torch.py`).
 
 Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 10),
-BENCH_INVCONV (xla|pallas; default xla — the celeba64 preset pins
-invconv_precision="high", which matches the fused Pallas kernel's speed;
-the kernel itself compiles too slowly through this machine's remote-compile
-tunnel when chained in a fori_loop), BENCH_PRESET (default celeba64).
+BENCH_FLOWSTEP (pallas|xla; default pallas — the fused whole-flow-step
+kernel, ops/flowstep_pallas.py, +60% over the XLA path on v5e),
+BENCH_INVCONV (xla|pallas; only used when BENCH_FLOWSTEP=xla),
+BENCH_PRESET (default celeba64).
 """
 
 from __future__ import annotations
@@ -45,10 +45,13 @@ def main() -> None:
 
     preset = os.environ.get("BENCH_PRESET", "celeba64")
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
     invconv = os.environ.get("BENCH_INVCONV", "xla")
+    flowstep = os.environ.get("BENCH_FLOWSTEP", "pallas")
 
-    cfg = dataclasses.replace(PRESETS[preset].glow, invconv_impl=invconv)
+    cfg = dataclasses.replace(
+        PRESETS[preset].glow, invconv_impl=invconv, flowstep_impl=flowstep
+    )
     h, w, c = cfg.image_shape
 
     t_setup = time.time()
@@ -113,7 +116,7 @@ def main() -> None:
         "metric": (
             f"images/sec/chip (fwd NLL + reverse sampling, device steady-state) "
             f"at {h}x{w}, {preset} K={cfg.K} L={cfg.L} w={cfg.hidden_channels} "
-            f"batch={batch} invconv={invconv} on {jax.devices()[0].device_kind}"
+            f"batch={batch} flowstep={flowstep} on {jax.devices()[0].device_kind}"
         ),
         "value": round(value, 2),
         "unit": "images/sec/chip",

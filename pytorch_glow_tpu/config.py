@@ -36,6 +36,11 @@ class GlowConfig:
     remat: bool = False  # jax.checkpoint the per-step scan body
     invconv_impl: str = "xla"  # xla | pallas
     invconv_precision: str = "highest"  # highest | high | default (MXU passes)
+    # Fused whole-flow-step Pallas kernel (actnorm + 1x1 mix + coupling in
+    # one VMEM-resident pass; ops/flowstep_pallas.py).  The kernel computes
+    # the coupling net in bf16 — pair with compute_dtype="bfloat16" so the
+    # XLA fallback paths (DDI, gradients) see the same numerics.
+    flowstep_impl: str = "xla"  # xla | pallas
     scan_unroll: int = 1  # lax.scan unroll factor for the K-step loop
     # Spatial GSPMD sharding (the image-model analog of sequence parallelism,
     # SURVEY.md §5): constrain activations to shard H over the "model" axis

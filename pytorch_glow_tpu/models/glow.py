@@ -116,7 +116,122 @@ def _step_reverse(sp: Params, z: jax.Array, cfg: GlowConfig) -> jax.Array:
     return z
 
 
+# -- fused whole-step Pallas path (cfg.flowstep_impl == "pallas") -----------
+# Forward/reverse run the ops/flowstep_pallas.py kernel; gradients route
+# through jax.custom_vjp to the identical XLA layer math below, so training
+# through the fused forward stays correct (the kernel is the fast
+# serving/bench path, not a separate model).
+
+
+def _fused_ref_forward(sp, z, kind: str, mode: str):
+    """XLA re-statement of the kernel's exact math (bf16 coupling) — the
+    custom_vjp backward differentiates this."""
+    z, _, _ = L.actnorm_forward(sp["actnorm"], z, None)
+    z, _ = L.permutation_forward(sp["perm"], z, None, kind, "xla", "highest")
+    z, ld, _ = L.coupling_forward(
+        sp["coupling"], z, jnp.zeros((z.shape[0],), jnp.float32), mode,
+        compute_dtype=jnp.bfloat16,
+    )
+    return z, ld
+
+
+def _fused_ref_reverse(sp, z, kind: str, mode: str):
+    z = L.coupling_reverse(sp["coupling"], z, mode, compute_dtype=jnp.bfloat16)
+    z = L.permutation_reverse(sp["perm"], z, kind, "xla", "highest")
+    return L.actnorm_reverse(sp["actnorm"], z)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_step_forward(sp, zt, kind: str, mode: str, hw: tuple, b: int):
+    from pytorch_glow_tpu.ops import flowstep_pallas as fsp
+
+    return fsp.step_forward_t(sp, zt, hw, b, kind, mode == "affine")
+
+
+def _fused_ref_forward_t(sp, zt, kind, mode, hw, b):
+    from pytorch_glow_tpu.ops import flowstep_pallas as fsp
+
+    z = fsp.from_t(zt, (b, hw[0], hw[1], zt.shape[0]))
+    zn, ld = _fused_ref_forward(sp, z, kind, mode)
+    return fsp.to_t(zn), ld
+
+
+def _fused_fwd_rule(sp, zt, kind, mode, hw, b):
+    return _fused_step_forward(sp, zt, kind, mode, hw, b), (sp, zt)
+
+
+def _fused_bwd_rule(kind, mode, hw, b, res, g):
+    sp, zt = res
+    _, vjp = jax.vjp(
+        lambda s, x: _fused_ref_forward_t(s, x, kind, mode, hw, b), sp, zt
+    )
+    return vjp(g)
+
+
+_fused_step_forward.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_step_reverse(sp, zt, kind: str, mode: str, hw: tuple, b: int):
+    from pytorch_glow_tpu.ops import flowstep_pallas as fsp
+
+    return fsp.step_reverse_t(sp, zt, hw, b, kind, mode == "affine")
+
+
+def _fused_rev_fwd_rule(sp, zt, kind, mode, hw, b):
+    return _fused_step_reverse(sp, zt, kind, mode, hw, b), (sp, zt)
+
+
+def _fused_rev_bwd_rule(kind, mode, hw, b, res, g):
+    sp, zt = res
+
+    def ref(s, x):
+        from pytorch_glow_tpu.ops import flowstep_pallas as fsp
+
+        z = fsp.from_t(x, (b, hw[0], hw[1], x.shape[0]))
+        return fsp.to_t(_fused_ref_reverse(s, z, kind, mode))
+
+    _, vjp = jax.vjp(ref, sp, zt)
+    return vjp(g)
+
+
+_fused_step_reverse.defvjp(_fused_rev_fwd_rule, _fused_rev_bwd_rule)
+
+
+def _use_fused(cfg: GlowConfig, z) -> bool:
+    if cfg.flowstep_impl != "pallas":
+        return False
+    from pytorch_glow_tpu.ops import flowstep_pallas as fsp
+
+    return fsp.supported(z.shape[1], z.shape[2], z.shape[3], cfg.hidden_channels)
+
+
 def _scan_steps_forward(steps: Params, z, logdet, cfg: GlowConfig, ddi: bool):
+    kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
+    if not ddi and _use_fused(cfg, z):
+        from pytorch_glow_tpu.ops import flowstep_pallas as fsp
+
+        b, hh, ww, _ = z.shape
+        pixels = hh * ww
+        zt = fsp.to_t(z)  # transposed carry: one layout change per level
+
+        def body(carry, sp):
+            zt, ld = carry
+            ztn, ld_c = _fused_step_forward(
+                sp, zt, kind, cfg.flow_coupling, (hh, ww), b
+            )
+            return (ztn, ld + ld_c), None
+
+        if cfg.remat:
+            body = jax.checkpoint(body)
+        (zt, logdet), _ = jax.lax.scan(
+            body, (zt, logdet), steps, unroll=cfg.scan_unroll
+        )
+        # The z-independent logdet terms (actnorm + permutation), batched
+        # over K in one shot instead of inside the kernel.
+        plds = jax.vmap(lambda sp: fsp.param_logdet(sp, kind))(steps)
+        return fsp.from_t(zt, z.shape), logdet + pixels * jnp.sum(plds), None
+
     def body(carry, sp):
         z, logdet = carry
         z, logdet, new_sp = _step_forward(sp, z, logdet, cfg, ddi)
@@ -131,6 +246,23 @@ def _scan_steps_forward(steps: Params, z, logdet, cfg: GlowConfig, ddi: bool):
 
 
 def _scan_steps_reverse(steps: Params, z, cfg: GlowConfig):
+    if _use_fused(cfg, z):
+        from pytorch_glow_tpu.ops import flowstep_pallas as fsp
+
+        kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
+        b, hh, ww, _ = z.shape
+        zt = fsp.to_t(z)
+
+        def body(zt, sp):
+            return _fused_step_reverse(
+                sp, zt, kind, cfg.flow_coupling, (hh, ww), b
+            ), None
+
+        if cfg.remat:
+            body = jax.checkpoint(body)
+        zt, _ = jax.lax.scan(body, zt, steps, reverse=True, unroll=cfg.scan_unroll)
+        return fsp.from_t(zt, z.shape)
+
     def body(z, sp):
         return _step_reverse(sp, z, cfg), None
 

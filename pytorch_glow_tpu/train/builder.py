@@ -95,9 +95,23 @@ def build(
         )
     else:
         train_step = steplib.make_train_step(g, tx, ema_decay=t.ema_decay)
-    eval_step = steplib.make_eval_step(g)
-    sample_fn = steplib.make_sample_fn(g, t.num_sample_images, t.sample_temperature)
-    reconstruct_fn = steplib.make_reconstruct_fn(g)
+    # Serving-path config: eval/sampling/reconstruction take the fused
+    # flow-step kernel on TPU (ops/flowstep_pallas.py; +60% and a 10x
+    # tighter round-trip on v5e).  The train step keeps the profile's
+    # setting — its backward runs the XLA math either way.
+    serve_g = g
+    import dataclasses as _dc
+
+    if (
+        g.flowstep_impl == "xla"
+        and g.compute_dtype == "bfloat16"
+        and not g.shard_spatial
+        and jax.default_backend() == "tpu"
+    ):
+        serve_g = _dc.replace(g, flowstep_impl="pallas")
+    eval_step = steplib.make_eval_step(serve_g)
+    sample_fn = steplib.make_sample_fn(serve_g, t.num_sample_images, t.sample_temperature)
+    reconstruct_fn = steplib.make_reconstruct_fn(serve_g)
 
     data = None
     eval_data = None
