@@ -40,6 +40,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ema", action="store_true",
                    help="use EMA (Polyak-averaged) params if the snapshot has them")
+    p.add_argument("--best", action="store_true",
+                   help="load the best-eval-NLL snapshot instead of the latest")
     p.add_argument("--out-dir", default=None, help="training out-dir (to locate checkpoints)")
     p.add_argument("-o", "--output", default="infer_out.png")
     return p.parse_args(argv)
@@ -59,7 +61,8 @@ def main(argv=None):
         out_dir=args.out_dir, synthetic=args.synthetic, seed=None, quiet=True,
     )
     prof = train_cli.resolve_profile(ns)
-    built = build(prof, training=False, with_data=args.op != "sample")
+    built = build(prof, training=False, with_data=args.op != "sample",
+                  restore="best" if args.best else "latest")
     if not built.resumed:
         print("[infer] warning: no checkpoint found — using fresh (DDI-less) params",
               file=sys.stderr)

@@ -59,7 +59,10 @@ def build(
     training: bool = True,
     with_data: bool = True,
     devices: list | None = None,
+    restore: str = "latest",
 ) -> Built:
+    """`restore`: which snapshot to load — "latest" (default; training resume)
+    or "best" (lowest held-out eval bits/dim; inference/model selection)."""
     g, t = profile.glow, profile.train
     mesh = meshlib.make_mesh(profile.mesh, devices)
     if g.shard_spatial:
@@ -128,9 +131,17 @@ def build(
     resumed = False
     out_dir = os.path.join(profile.out_dir, profile.name)
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"), keep=t.keep_checkpoints)
-    latest = ckpt.latest_step()
     data_resume = None
-    if latest is not None:
+    if restore == "best":
+        restored = ckpt.restore_best(state)
+        if restored is not None:
+            state = restored
+            start_step = int(state["step"])
+            resumed = True
+        # Fall back to the latest snapshot when no best was recorded
+        # (e.g. the run never evaluated).
+    latest = ckpt.latest_step()
+    if not resumed and latest is not None:
         restored = ckpt.restore(state)
         if restored is not None:
             state = restored

@@ -147,6 +147,12 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
                         ev["recon_err_max_u8"] = float(
                             np.abs(xb.astype(np.int16) - rec.astype(np.int16)).max()
                         )
+                        # Best-checkpoint tracking: keep the snapshot with the
+                        # lowest held-out bits/dim (model selection; the
+                        # rolling keep=N window only preserves the latest).
+                        if built.ckpt is not None and np.isfinite(ev["eval_nll"]):
+                            if built.ckpt.maybe_save_best(step, state, ev["eval_nll"]):
+                                ev["best_eval_nll"] = ev["eval_nll"]
                         logger.scalars(step, ev)
 
             if built.ckpt is not None and t.checkpoint_gap and step % t.checkpoint_gap == 0:

@@ -27,6 +27,60 @@ class CheckpointManager:
         self._data_dir = os.path.join(self.directory, "data_state")
         options = ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        # Best-checkpoint tracking (min eval bits/dim): a sibling directory
+        # holding the single best snapshot + a JSON sidecar with its metric.
+        # The rolling `keep`-window above can rotate the best step out; this
+        # one never rotates, so model selection survives long runs.
+        self._best_dir = self.directory + "-best"
+        self._best_mgr = None
+
+    # -- best-checkpoint tracking ---------------------------------------------
+
+    def _best_meta_path(self) -> str:
+        return os.path.join(self._best_dir, "best.json")
+
+    def best_info(self) -> dict | None:
+        """{"step": int, "metric": float} of the best snapshot, or None."""
+        path = self._best_meta_path()
+        if not os.path.isfile(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _get_best_mgr(self) -> ocp.CheckpointManager:
+        if self._best_mgr is None:
+            options = ocp.CheckpointManagerOptions(max_to_keep=1, create=True)
+            self._best_mgr = ocp.CheckpointManager(self._best_dir, options=options)
+        return self._best_mgr
+
+    def maybe_save_best(self, step: int, state: Any, metric: float) -> bool:
+        """Save `state` as the best snapshot iff `metric` (lower is better,
+        e.g. eval bits/dim) improves on the stored best.  Returns True when
+        a new best was written."""
+        prev = self.best_info()
+        if prev is not None and float(metric) >= float(prev["metric"]):
+            return False
+        mgr = self._get_best_mgr()
+        mgr.save(step, args=ocp.args.StandardSave(_to_savable(state)))
+        mgr.wait_until_finished()
+        if jax.process_index() == 0:
+            tmp = self._best_meta_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"step": int(step), "metric": float(metric)}, f)
+            os.replace(tmp, self._best_meta_path())
+        return True
+
+    def restore_best(self, state_like: Any) -> Any | None:
+        """Restore the best-metric snapshot (or None if none was saved)."""
+        info = self.best_info()
+        if info is None:
+            return None
+        mgr = self._get_best_mgr()
+        template = _to_savable(state_like)
+        restored = mgr.restore(
+            int(info["step"]), args=ocp.args.StandardRestore(template)
+        )
+        return _from_savable(restored, state_like)
 
     def save(
         self, step: int, state: Any, wait: bool = False, data_state: Any = None
@@ -90,6 +144,8 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+        if self._best_mgr is not None:
+            self._best_mgr.close()
 
 
 def _jsonify(obj: Any) -> Any:

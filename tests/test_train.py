@@ -169,6 +169,46 @@ def test_no_checkpoint_save_on_failure(tmp_path):
     assert built.ckpt.latest_step() is None
 
 
+def test_best_checkpoint_tracks_min_metric(tmp_path):
+    """maybe_save_best keeps exactly the lowest-metric snapshot, persists
+    across manager instances, and restore_best returns that state."""
+    from pytorch_glow_tpu.utils.checkpoint import CheckpointManager
+
+    state = {"w": np.arange(4.0), "step": np.array(0, np.int32)}
+    ckpt = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    assert ckpt.best_info() is None
+    assert ckpt.maybe_save_best(10, {**state, "step": np.array(10, np.int32)}, 3.0)
+    assert ckpt.maybe_save_best(20, {**state, "step": np.array(20, np.int32)}, 2.5)
+    assert not ckpt.maybe_save_best(30, {**state, "step": np.array(30, np.int32)}, 2.8)
+    info = ckpt.best_info()
+    assert info == {"step": 20, "metric": 2.5}
+    ckpt.close()
+
+    ckpt2 = CheckpointManager(str(tmp_path / "ck"), keep=2)  # fresh instance
+    assert ckpt2.best_info() == {"step": 20, "metric": 2.5}
+    assert not ckpt2.maybe_save_best(40, state, 2.6)  # best survives restart
+    restored = ckpt2.restore_best(state)
+    assert int(restored["step"]) == 20
+    ckpt2.close()
+
+
+def test_train_eval_saves_best_and_infer_restores_it(tmp_path):
+    """eval_gap training records a best snapshot; build(restore="best")
+    loads it (the one-command real-data model-selection path)."""
+    p = micro_profile(tmp_path).replace(
+        train=TrainConfig(batch_size=16, num_steps=8, scalar_log_gap=4,
+                          plot_gap=0, checkpoint_gap=8, eval_gap=4,
+                          eval_batches=1, num_sample_images=4),
+    )
+    built = builderlib.build(p)
+    trainerlib.train(built, quiet=True)
+    info = built.ckpt.best_info()
+    assert info is not None and np.isfinite(info["metric"])
+
+    best = builderlib.build(p, training=False, with_data=False, restore="best")
+    assert best.resumed and best.start_step == info["step"]
+
+
 def test_model_summary():
     from pytorch_glow_tpu.utils.summary import param_count, summarize
     import jax
