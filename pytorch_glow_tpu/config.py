@@ -178,8 +178,15 @@ PRESETS: dict[str, Profile] = {
             L=3,
             compute_dtype="bfloat16",
             invconv_precision="high",
+            # Train/serve on the fused flow-step kernels (fwd + hand-derived
+            # bwd, ops/flowstep_pallas.py): +49% training throughput over
+            # the XLA path on v5e and no K-step coupling residuals in HBM.
+            flowstep_impl="pallas",
         ),
-        train=TrainConfig(batch_size=256, steps_per_call=5),
+        # Held-out eval on: every eval writes eval_nll and the trainer keeps
+        # the lowest-bits/dim snapshot in checkpoints-best (model selection
+        # for the <=3.4 bits/dim CIFAR-10 north star; docs/REAL_DATA.md).
+        train=TrainConfig(batch_size=256, steps_per_call=5, eval_gap=1000),
         data=DataConfig(name="cifar10", image_size=32),
     ),
     "celeba64": Profile(
@@ -191,9 +198,13 @@ PRESETS: dict[str, Profile] = {
             L=4,
             compute_dtype="bfloat16",
             invconv_precision="high",
+            # Fused kernels: 950 vs 639 img/s training on one v5e chip, and
+            # b128 fits WITHOUT remat (the XLA path's stored coupling
+            # residuals need 28.5 GB and OOM; scripts/bench_train.py).
+            flowstep_impl="pallas",
         ),
         train=TrainConfig(batch_size=128, sample_temperature=0.7,
-                          steps_per_call=5),
+                          steps_per_call=5, eval_gap=2000),
         data=DataConfig(name="celeba", image_size=64),
     ),
     "imagenet64-cond": Profile(
@@ -208,6 +219,7 @@ PRESETS: dict[str, Profile] = {
             y_multi_class=False,
             compute_dtype="bfloat16",
             invconv_precision="high",
+            flowstep_impl="pallas",
             remat=True,
         ),
         train=TrainConfig(batch_size=128, steps_per_call=5),

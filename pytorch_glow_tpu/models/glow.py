@@ -117,10 +117,11 @@ def _step_reverse(sp: Params, z: jax.Array, cfg: GlowConfig) -> jax.Array:
 
 
 # -- fused whole-step Pallas path (cfg.flowstep_impl == "pallas") -----------
-# Forward/reverse run the ops/flowstep_pallas.py kernel; gradients route
-# through jax.custom_vjp to the identical XLA layer math below, so training
-# through the fused forward stays correct (the kernel is the fast
-# serving/bench path, not a separate model).
+# Forward/reverse run the ops/flowstep_pallas.py kernel.  The forward's
+# custom_vjp backward runs the FUSED BACKWARD kernel (recompute-in-VMEM,
+# exact vs f32 autodiff) when the shape tiles into its VMEM budget, else
+# jax.vjp over the identical XLA layer math below — so training is fully
+# fused in both directions on the flagship shapes.
 
 
 def _fused_ref_forward(sp, z, kind: str, mode: str):
@@ -162,6 +163,24 @@ def _fused_fwd_rule(sp, zt, kind, mode, hw, b):
 
 def _fused_bwd_rule(kind, mode, hw, b, res, g):
     sp, zt = res
+    from pytorch_glow_tpu.ops import flowstep_pallas as fsp
+
+    hidden = sp["coupling"]["conv1"]["w"].shape[-1]
+    if fsp.backward_supported(hw[0], hw[1], zt.shape[0], hidden):
+        # Fused backward kernel: recomputes the forward in VMEM and emits
+        # cotangents for (packed weights, zt) in one pass; packed-weight
+        # grads map back to the param pytree through the vjp of the packing
+        # itself (LU assembly, transposes, casts — all XLA).
+        affine = mode == "affine"
+        g_zn, g_ld = g
+        packed, pack_vjp = jax.vjp(
+            lambda s: tuple(fsp.pack_weights(s, kind, affine, False)), sp
+        )
+        g_packed, g_zt = fsp.step_backward_t(
+            packed, zt, g_zn, g_ld, hw, b, affine
+        )
+        (g_sp,) = pack_vjp(g_packed)
+        return g_sp, g_zt
     _, vjp = jax.vjp(
         lambda s, x: _fused_ref_forward_t(s, x, kind, mode, hw, b), sp, zt
     )

@@ -37,11 +37,16 @@ actnorm / channel-mix / shift-scale / logdet run f32 (HIGHEST for the mix —
 the logdet and exact round-trip depend on it).  Forward and reverse share
 the f() net code, so decode(encode(x)) stays exact under the kernel.
 
-Gradients route through jax.custom_vjp to the XLA layer math in
-models/glow.py (identical function, so training through the fused forward
-is correct); the kernel itself is the inference/serving/bench fast path.
+Training runs fused in BOTH directions: a hand-derived backward kernel
+(`_make_bwd_kernel`) recomputes the forward in VMEM and emits cotangents
+for (z, all weights) in one pass — weight grads accumulate across grid
+steps in constant-index output blocks and map back to the param pytree via
+jax.vjp of `pack_weights` (models/glow.py custom_vjp).  Proven exact
+against f32 autodiff (tests/test_flowstep_pallas.py
+`test_fused_backward_kernel_exact_at_f32`); shapes the backward's VMEM
+budget can't tile fall back to jax.custom_vjp over the XLA layer math.
 
-On non-TPU backends the kernel runs in interpret mode (tests).
+On non-TPU backends the kernels run in interpret mode (tests).
 """
 
 from __future__ import annotations
@@ -56,6 +61,10 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 HIGHEST = jax.lax.Precision.HIGHEST
+# Coupling-net compute dtype inside the kernels (bf16 on the MXU).
+# Tests monkeypatch this to float32 to prove the hand-derived backward
+# against exact-precision autodiff (clear the _partitioned caches first).
+COUPLING_DTYPE = jnp.bfloat16
 # Tap order k = 3*dy + dx, dy/dx in {0,1,2} around the centre pixel.
 OFFSETS = [(dy, dx) for dy in range(3) for dx in range(3)]
 
@@ -152,13 +161,13 @@ def _net_T(z1, w1_ref, a1b_ref, a1l_ref, w2_ref, a2b_ref, a2l_ref,
     for k, (dy, dx) in enumerate(OFFSETS):
         off = (dy - 1) * ww + (dx - 1)
         tap = _roll_lanes(z1, -off)
-        p1[k * cin : (k + 1) * cin, :] = (tap * masks[k]).astype(jnp.bfloat16)
+        p1[k * cin : (k + 1) * cin, :] = (tap * masks[k]).astype(COUPLING_DTYPE)
     a = _dot_bf16(w1_ref[:], p1[:])
     a = (a + a1b_ref[:, 0:1]) * jnp.exp(a1l_ref[:, 0:1])
-    h1[:] = jnp.maximum(a, 0.0).astype(jnp.bfloat16)
+    h1[:] = jnp.maximum(a, 0.0).astype(COUPLING_DTYPE)
     a = _dot_bf16(w2_ref[:], h1[:])
     a = (a + a2b_ref[:, 0:1]) * jnp.exp(a2l_ref[:, 0:1])
-    h2[:] = jnp.maximum(a, 0.0).astype(jnp.bfloat16)
+    h2[:] = jnp.maximum(a, 0.0).astype(COUPLING_DTYPE)
     # conv3: one slim matmul per tap (transposed layout pads M=cout only to
     # the 8-sublane granule, so tap-separate matmuls waste nothing and avoid
     # a (9*cout, n) f32 intermediate that would blow VMEM at wide levels).
@@ -264,9 +273,9 @@ def _step_raw(reverse, affine, hh, ww, b, zt, *weights):
             jax.ShapeDtypeStruct((b, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((9 * ch, n), jnp.bfloat16),   # p1 patches
-            pltpu.VMEM((hidden, n), jnp.bfloat16),   # h1
-            pltpu.VMEM((hidden, n), jnp.bfloat16),   # h2
+            pltpu.VMEM((9 * ch, n), COUPLING_DTYPE),   # p1 patches
+            pltpu.VMEM((hidden, n), COUPLING_DTYPE),   # h1
+            pltpu.VMEM((hidden, n), COUPLING_DTYPE),   # h2
         ],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -320,6 +329,353 @@ def _partitioned(reverse: bool, affine: bool, hh: int, ww: int, b: int):
 
 
 # ---------------------------------------------------------------------------
+# Fused BACKWARD kernel (training path)
+#
+# Gradient of the forward step w.r.t. (z, the 12 packed weight operands),
+# given cotangents (g_zn, g_ld).  The forward is RECOMPUTED inside the
+# kernel (storing h1/h2 residuals would reintroduce the ~134 MB/step of HBM
+# traffic the fused forward exists to eliminate); every intermediate and
+# every gradient stays in VMEM.  Weight gradients accumulate across grid
+# steps in constant-index output blocks (sequential TPU grid), and under
+# GSPMD the partial sums are psum'd over the batch-sharding axis inside the
+# custom_partitioning body.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_bytes_per_col(c: int, hidden: int) -> int:
+    """VMEM bytes per pixel column for the backward kernel: two f32 hidden
+    scratches (gradient ping-pong) + bf16 h1/h2/p1 recompute scratches +
+    f32 u/v/acc/g_p1 + double-buffered in/out z-blocks."""
+    ch = c // 2
+    return (
+        2 * hidden * 4      # gh_a, gh_b (f32 gradient scratch, reused)
+        + 2 * hidden * 2    # h1, h2 (bf16)
+        + 9 * ch * 2        # p1 (bf16)
+        + 9 * ch * 4        # g_p1 (f32)
+        + 9 * c * 2         # g_y tap-packed conv3 cotangents (bf16)
+        + 3 * c * 4         # u, v, acc(<=c)
+        + 2 * (3 * c + 1) * 4 * 2  # z, g_zn, g_z blocks + gld, double-buffered
+    )
+
+
+# Weight-gradient accumulators + weights resident across the whole grid:
+# gw2 (h,h,f32) + w2 (h,h,bf16) + gw1/gw3 + smalls ~ 2.2 MB at hidden=512.
+_BWD_FIXED_VMEM = 3 * 2**20
+# The backward runs one phase at a time, so its live set is closer to the
+# byte/column model than the forward's (fewer concurrent transients); budget
+# most of the 16 MB.  The flagship level-0 tile (one 32x32 image, 1024
+# columns, ~7.2 KB/col) MUST fit — below ~10 MB of column budget the whole
+# level falls back to the XLA vjp and the fused training path loses its
+# biggest win (73% of step time is level 0).
+_BWD_TOTAL_VMEM = 13 * 2**20
+
+
+def _bwd_max_cols(c: int, hidden: int) -> int:
+    budget = _BWD_TOTAL_VMEM - _BWD_FIXED_VMEM
+    return min(MAX_TILE_COLS, budget // _bwd_bytes_per_col(c, hidden))
+
+
+def backward_supported(h: int, w: int, c: int, hidden: int) -> bool:
+    return h * w <= _bwd_max_cols(c, hidden)
+
+
+def _bwd_tile_batch(b: int, h: int, w: int, c: int, hidden: int) -> int:
+    hw = h * w
+    cap = _bwd_max_cols(c, hidden)
+    best = None
+    for d in range(1, b + 1):
+        if b % d:
+            continue
+        if (d * hw) % 128 == 0 and d * hw <= cap:
+            if best is None or abs(d * hw - cap) < abs(best * hw - cap):
+                best = d
+    return best if best is not None else b
+
+
+def _rowsum(x) -> jax.Array:
+    """(r, n) -> (r, 1) f32 lane reduction."""
+    return jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+
+
+def _make_bwd_kernel(tb, hh, ww, c, hidden, affine):
+    ch = c // 2
+    cout = c if affine else ch
+    n = tb * hh * ww
+
+    def kernel(z_ref, wt_ref, anb_ref, anl_ref, w1_ref, a1b_ref, a1l_ref,
+               w2_ref, a2b_ref, a2l_ref, w3_ref, b3_ref, l3_ref,
+               gzn_ref, gld_ref,
+               gz_ref, gwt_ref, ganb_ref, ganl_ref, gw1_ref, ga1b_ref,
+               ga1l_ref, gw2_ref, ga2b_ref, ga2l_ref, gw3_ref, gb3_ref,
+               gl3_ref,
+               p1, h1, h2, gh_a, gh_b, gy):
+        masks = _border_masks(hh, ww, n)
+
+        # ---- recompute forward (identical math to _make_kernel) ----------
+        z = z_ref[:]
+        u = (z + anb_ref[:, 0:1]) * jnp.exp(anl_ref[:, 0:1])      # actnorm
+        v = jnp.dot(wt_ref[:], u, preferred_element_type=jnp.float32,
+                    precision=HIGHEST)                            # mix
+        v1, v2 = v[:ch, :], v[ch:, :]
+        for k, (dy, dx) in enumerate(OFFSETS):
+            off = (dy - 1) * ww + (dx - 1)
+            tap = _roll_lanes(v1, -off)
+            p1[k * ch : (k + 1) * ch, :] = (tap * masks[k]).astype(COUPLING_DTYPE)
+        a = _dot_bf16(w1_ref[:], p1[:])
+        a = (a + a1b_ref[:, 0:1]) * jnp.exp(a1l_ref[:, 0:1])
+        h1[:] = jnp.maximum(a, 0.0).astype(COUPLING_DTYPE)
+        a = _dot_bf16(w2_ref[:], h1[:])
+        a = (a + a2b_ref[:, 0:1]) * jnp.exp(a2l_ref[:, 0:1])
+        h2[:] = jnp.maximum(a, 0.0).astype(COUPLING_DTYPE)
+        acc = jnp.zeros((cout, n), jnp.float32)
+        for k, (dy, dx) in enumerate(OFFSETS):
+            off = (dy - 1) * ww + (dx - 1)
+            yk = _dot_bf16(w3_ref[k * cout : (k + 1) * cout, :], h2[:])
+            acc = acc + _roll_lanes(yk, -off) * masks[k]
+        e3l3 = jnp.exp(l3_ref[:, 0:1] * 3.0)
+        out = (acc + b3_ref[:, 0:1]) * e3l3
+
+        # ---- backward through shift/scale --------------------------------
+        gzn = gzn_ref[:]
+        go1, go2 = gzn[:ch, :], gzn[ch:, :]
+        if affine:
+            shift, raw = out[:ch, :], out[ch:, :]
+            s = jax.nn.sigmoid(raw + 2.0)
+            g_s = go2 * (v2 + shift) + gld_ref[0:1, :] / s  # dld/ds = 1/s
+            g_raw = g_s * s * (1.0 - s)
+            g_v2 = go2 * s
+            g_out = jnp.concatenate([g_v2, g_raw], axis=0)  # g_shift == g_v2
+        else:
+            g_v2 = go2
+            g_out = go2
+
+        # ---- conv3 (zeros conv with exp(3*logs) output scale) -------------
+        g_acc = g_out * e3l3
+        gb3 = _rowsum(g_acc)
+        gl3 = 3.0 * _rowsum(g_out * out)
+        # Tap-PACKED backward: stack the 9 rolled cotangents into one
+        # (9*cout, n) operand so g_h2 contracts over 9*cout (~108) instead
+        # of 9 separate cout (~12)-deep matmuls — a 12-deep contraction
+        # fills <10% of the MXU's K dimension.  Filled via scratch stores
+        # (one jnp.concatenate of 9 rolls sends Mosaic compile >10 min).
+        # The same stacked operand feeds g_w3 in one matmul (below).
+        for k, (dy, dx) in enumerate(OFFSETS):
+            off = (dy - 1) * ww + (dx - 1)
+            gy[k * cout : (k + 1) * cout, :] = _roll_lanes(
+                g_acc * masks[k], off
+            ).astype(COUPLING_DTYPE)
+        gh_a[:] = jax.lax.dot_general(  # g_h2 = W3_packed^T @ g_y
+            w3_ref[:], gy[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # ---- conv2 (1x1 + actnorm + relu) ---------------------------------
+        h2f = h2[:].astype(jnp.float32)
+        g_a2n = gh_a[:] * (h2f > 0.0)
+        g_a2 = g_a2n * jnp.exp(a2l_ref[:, 0:1])
+        ga2b = _rowsum(g_a2)
+        ga2l = _rowsum(g_a2n * h2f)   # a2n == h2 wherever the relu passes
+        gh_b[:] = jax.lax.dot_general(  # g_h1 = w2^T @ g_a2
+            w2_ref[:], g_a2.astype(COUPLING_DTYPE),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # ---- conv1 (3x3 patches + actnorm + relu) --------------------------
+        h1f = h1[:].astype(jnp.float32)
+        g_a1n = gh_b[:] * (h1f > 0.0)
+        g_a1 = g_a1n * jnp.exp(a1l_ref[:, 0:1])
+        ga1b = _rowsum(g_a1)
+        ga1l = _rowsum(g_a1n * h1f)
+        g_a1_bf = g_a1.astype(COUPLING_DTYPE)
+        g_p1 = jax.lax.dot_general(  # (9*ch, n) = w1^T @ g_a1
+            w1_ref[:], g_a1_bf,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g_v1 = go1
+        for k, (dy, dx) in enumerate(OFFSETS):
+            off = (dy - 1) * ww + (dx - 1)
+            g_v1 = g_v1 + _roll_lanes(
+                g_p1[k * ch : (k + 1) * ch, :] * masks[k], off
+            )
+
+        # ---- mix + actnorm --------------------------------------------------
+        g_v = jnp.concatenate([g_v1, g_v2], axis=0)
+        g_u = jax.lax.dot_general(  # W^T @ g_v
+            wt_ref[:], g_v,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+        gz_ref[:] = g_u * jnp.exp(anl_ref[:, 0:1])
+        ganb = _rowsum(gz_ref[:])
+        ganl = _rowsum(g_u * u)
+
+        # ---- weight-grad tile contributions (accumulate over the grid) ----
+        h2bf, h1bf = h2[:], h1[:]
+        contribs = [
+            (gwt_ref, jax.lax.dot_general(  # g_W = g_v @ u^T
+                g_v, u, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HIGHEST)),
+            (ganb_ref, ganb),
+            (ganl_ref, ganl),
+            (gw1_ref, jax.lax.dot_general(  # (hidden, 9ch) = g_a1 @ p1^T
+                g_a1_bf, p1[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)),
+            (ga1b_ref, ga1b),
+            (ga1l_ref, ga1l),
+            (gw2_ref, jax.lax.dot_general(  # (hidden, hidden) = g_a2 @ h1^T
+                g_a2.astype(COUPLING_DTYPE), h1bf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)),
+            (ga2b_ref, ga2b),
+            (ga2l_ref, ga2l),
+            (gb3_ref, gb3),
+            (gl3_ref, gl3),
+        ]
+        contribs.append((gw3_ref, jax.lax.dot_general(  # (9*cout, hidden)
+            gy[:], h2bf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)))
+
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            for ref, val in contribs:
+                ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            for ref, val in contribs:
+                ref[:] = ref[:] + val
+
+    return kernel
+
+
+def _bwd_raw(affine, hh, ww, b, zt, *rest):
+    """(zt, *12 weights, g_zn, g_ldcol) -> (g_zt, *12 weight grads, f32)."""
+    weights, gzn, gld = rest[:_N_WEIGHTS], rest[_N_WEIGHTS], rest[_N_WEIGHTS + 1]
+    c, total = zt.shape
+    ch = c // 2
+    cout = c if affine else ch
+    hidden = weights[3].shape[0]
+    tb = _bwd_tile_batch(b, hh, ww, c, hidden)
+    n = tb * hh * ww
+    kernel = _make_bwd_kernel(tb, hh, ww, c, hidden, affine)
+
+    grid = (b // tb,)
+    rep = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    zspec = pl.BlockSpec((c, n), lambda i: (0, i), memory_space=pltpu.VMEM)
+    gldspec = pl.BlockSpec((1, n), lambda i: (0, i), memory_space=pltpu.VMEM)
+    grad_shapes = [
+        (c, c), (c, 1), (c, 1), (hidden, 9 * ch), (hidden, 1), (hidden, 1),
+        (hidden, hidden), (hidden, 1), (hidden, 1), (9 * cout, hidden),
+        (cout, 1), (cout, 1),
+    ]
+    flops_net = 2 * total * hidden * (9 * ch + hidden + 9 * cout)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[zspec] + [rep(w.shape) for w in weights] + [zspec, gldspec],
+        out_specs=[zspec] + [rep(s) for s in grad_shapes],
+        out_shape=[jax.ShapeDtypeStruct((c, total), jnp.float32)]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes],
+        scratch_shapes=[
+            pltpu.VMEM((9 * ch, n), COUPLING_DTYPE),   # p1
+            pltpu.VMEM((hidden, n), COUPLING_DTYPE),   # h1
+            pltpu.VMEM((hidden, n), COUPLING_DTYPE),   # h2
+            pltpu.VMEM((hidden, n), jnp.float32),    # gh_a
+            pltpu.VMEM((hidden, n), jnp.float32),    # gh_b
+            pltpu.VMEM((9 * cout, n), COUPLING_DTYPE),  # gy (tap-packed)
+        ],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * flops_net + 12 * total * c * c,
+            bytes_accessed=3 * 4 * total * c,
+            transcendentals=2 * total * ch,
+        ),
+    )(zt, *weights, gzn, gld)
+    return tuple(outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(affine: bool, hh: int, ww: int, b: int):
+    raw = functools.partial(_bwd_raw, affine, hh, ww, b)
+    cp = custom_partitioning(raw)
+
+    def _col(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[1] if len(spec) > 1 else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        col = _col(arg_shapes)
+        zt_sh = NamedSharding(mesh, P(None, col))
+        rep = NamedSharding(mesh, P())
+        return (zt_sh,) + (rep,) * _N_WEIGHTS
+
+    def partition(mesh, arg_shapes, result_shape):
+        col = _col(arg_shapes)
+        zt_sh = NamedSharding(mesh, P(None, col))
+        rep = NamedSharding(mesh, P())
+        nshards = 1
+        axes: tuple = ()
+        if col is not None:
+            axes = (col,) if isinstance(col, str) else tuple(col)
+            for a in axes:
+                nshards *= mesh.shape[a]
+        assert b % nshards == 0, (b, nshards)
+        local_raw = functools.partial(_bwd_raw, affine, hh, ww, b // nshards)
+
+        def local(zt, *rest):
+            outs = local_raw(zt, *rest)
+            if axes:
+                # Weight grads are partial sums over the sharded pixel axis.
+                outs = (outs[0],) + tuple(
+                    jax.lax.psum(o, axes) for o in outs[1:]
+                )
+            return outs
+
+        arg_sh = (zt_sh,) + (rep,) * _N_WEIGHTS + (zt_sh, zt_sh)
+        out_sh = (zt_sh,) + (rep,) * _N_WEIGHTS
+        return mesh, local, out_sh, arg_sh
+
+    wfac = ", ".join(f"w{i}a w{i}b" for i in range(_N_WEIGHTS))
+    gfac = ", ".join(f"w{i}a w{i}b" for i in range(_N_WEIGHTS))
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=f"c n, {wfac}, c n, one n -> c n, {gfac}",
+    )
+    return cp
+
+
+def step_backward_t(
+    packed, zt: jax.Array, g_zn: jax.Array, g_ld: jax.Array,
+    hw, b: int, affine: bool,
+):
+    """Fused backward: cotangents w.r.t. (the 12 packed weights, zt).
+
+    `g_ld` is the per-image logdet cotangent (B,); expanded to one value per
+    pixel column outside the kernel (cheap: one f32 row)."""
+    pixels = hw[0] * hw[1]
+    gld_col = jnp.repeat(g_ld.astype(jnp.float32), pixels)[None, :]
+    outs = _partitioned_bwd(affine, hw[0], hw[1], b)(
+        zt, *packed, g_zn, gld_col
+    )
+    g_zt, g_packed = outs[0], outs[1:]
+    # Match the packed operands' dtypes/shapes (column vectors -> (r,) rows
+    # stay (r,1) in packing, bf16 weights take bf16 cotangents exactly like
+    # the XLA path's conv-transpose gradients).
+    g_packed = tuple(
+        g.astype(w.dtype) for g, w in zip(g_packed, packed)
+    )
+    return g_packed, g_zt
+
+
+# ---------------------------------------------------------------------------
 # Param packing (original step-param pytree -> kernel operand list)
 # ---------------------------------------------------------------------------
 
@@ -363,13 +719,13 @@ def pack_weights(sp, kind: str, affine: bool, reverse: bool) -> list[jax.Array]:
         wmat.astype(jnp.float32),               # z' = W @ z
         col(sp["actnorm"]["bias"]),
         col(sp["actnorm"]["logs"]),
-        w1t.astype(jnp.bfloat16),
+        w1t.astype(COUPLING_DTYPE),
         col(cp["conv1"]["actnorm"]["bias"]),
         col(cp["conv1"]["actnorm"]["logs"]),
-        cp["conv2"]["w"].reshape(hidden, hidden).T.astype(jnp.bfloat16),
+        cp["conv2"]["w"].reshape(hidden, hidden).T.astype(COUPLING_DTYPE),
         col(cp["conv2"]["actnorm"]["bias"]),
         col(cp["conv2"]["actnorm"]["logs"]),
-        w3t.astype(jnp.bfloat16),
+        w3t.astype(COUPLING_DTYPE),
         col(cp["conv3"]["b"][perm]),
         col(cp["conv3"]["logs"][perm]),
     ]

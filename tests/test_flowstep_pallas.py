@@ -114,6 +114,129 @@ def test_gradients_flow_through_fused_forward():
         )
 
 
+def _noisy_step_params(c, cfg):
+    sp = glow._flow_step_init(jax.random.key(0), c, cfg)
+    return jax.tree.map(
+        lambda a: a + 0.05 * jax.random.normal(jax.random.key(1), a.shape, a.dtype)
+        if a.dtype == jnp.float32 else a,
+        sp,
+    )
+
+
+@pytest.mark.parametrize("mode,kind_cfg", [
+    ("affine", {}),
+    ("additive", {}),
+    ("affine", {"lu_decomposed": False}),
+    ("affine", {"flow_permutation": "shuffle"}),
+])
+def test_fused_backward_kernel_exact_at_f32(monkeypatch, mode, kind_cfg):
+    """PROOF of the hand-derived backward kernel: with the coupling compute
+    dtype forced to f32, its gradients must match jax autodiff of the same
+    math to float roundoff (~1e-6) — any algebra error in the kernel would
+    show up at O(1).  (At bf16 the paths legitimately differ by rounding.)"""
+    monkeypatch.setattr(fsp, "COUPLING_DTYPE", jnp.float32)
+    fsp._partitioned.cache_clear()
+    fsp._partitioned_bwd.cache_clear()
+    try:
+        cfg = dataclasses.replace(CFG, flow_coupling=mode, **kind_cfg)
+        c, h, w, b = 12, 4, 4, 6
+        sp = _noisy_step_params(c, cfg)
+        kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
+        zt = fsp.to_t(jax.random.normal(jax.random.key(2), (b, h, w, c)))
+        gz = jax.random.normal(jax.random.key(3), zt.shape)
+        gl = jax.random.normal(jax.random.key(4), (b,))
+        assert fsp.backward_supported(h, w, c, cfg.hidden_channels)
+
+        def ref_f32_t(sp, zt):
+            z = fsp.from_t(zt, (b, h, w, c))
+            z, _, _ = L.actnorm_forward(sp["actnorm"], z, None)
+            z, _ = L.permutation_forward(sp["perm"], z, None, kind, "xla", "highest")
+            z, ld, _ = L.coupling_forward(
+                sp["coupling"], z, jnp.zeros((b,), jnp.float32), mode,
+                compute_dtype=jnp.float32,
+            )
+            return fsp.to_t(z), ld
+
+        def loss(fn):
+            def go(sp, zt):
+                zn, ld = fn(sp, zt)
+                return jnp.sum(zn * gz) + jnp.sum(ld * gl)
+            return go
+
+        fused = loss(lambda s, x: glow._fused_step_forward(s, x, kind, mode, (h, w), b))
+        ref = loss(ref_f32_t)
+        gf = jax.grad(fused, argnums=(0, 1), allow_int=True)(sp, zt)
+        gr = jax.grad(ref, argnums=(0, 1), allow_int=True)(sp, zt)
+        refs = dict(jax.tree_util.tree_leaves_with_path(gr))
+        checked = 0
+        for path, leaf in jax.tree_util.tree_leaves_with_path(gf):
+            if leaf.dtype == jax.dtypes.float0:
+                continue
+            scale = max(1e-3, float(np.max(np.abs(np.asarray(refs[path])))))
+            np.testing.assert_allclose(
+                np.asarray(leaf, np.float32), np.asarray(refs[path], np.float32),
+                atol=3e-5 * scale, err_msg=jax.tree_util.keystr(path),
+            )
+            checked += 1
+        assert checked >= 10
+    finally:
+        fsp._partitioned.cache_clear()
+        fsp._partitioned_bwd.cache_clear()
+
+
+def test_fused_backward_under_dp_mesh(eight_devices):
+    """Full-model grads through the fused fwd+bwd kernels on an 8-device DP
+    mesh == unsharded (exercises the weight-grad psum in the backward's
+    custom_partitioning body)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorch_glow_tpu.parallel import mesh as meshlib
+    from pytorch_glow_tpu.utils.tree import merge, partition
+
+    mesh = meshlib.make_mesh(MeshConfig(data=8, model=1))
+    params = glow.init_glow(jax.random.key(0), CFG_XLA)
+    x = jax.random.uniform(jax.random.key(1), (16, 8, 8, 3))
+    params = glow.ddi_init(params, x, CFG_XLA)
+    trainable, frozen = partition(params)
+
+    def loss(tr, x):
+        return jnp.mean(glow.log_prob(merge(tr, frozen), x, CFG)["nll"])
+
+    g_local = jax.jit(jax.grad(loss))(trainable, x)
+    ps = meshlib.shard_params(mesh, trainable)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    g_sharded = jax.jit(jax.grad(loss))(ps, xs)
+    refs = dict(jax.tree_util.tree_leaves_with_path(g_local))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_sharded):
+        scale = max(1e-3, float(np.max(np.abs(np.asarray(refs[path])))))
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(refs[path]), atol=1e-4 * scale,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_train_step_on_fused_kernel(tmp_path):
+    """A few real train steps with flowstep_impl=pallas: finite loss,
+    trajectory tracks the XLA impl (bf16 rounding apart)."""
+    import optax
+
+    from pytorch_glow_tpu.train import step as steplib
+
+    tx = optax.adam(1e-3)
+    results = {}
+    for impl, cfg in (("pallas", CFG), ("xla", CFG_XLA)):
+        state = steplib.init_state(jax.random.key(0), cfg, tx)
+        x = jax.random.uniform(jax.random.key(1), (8, 8, 8, 3))
+        state["params"] = glow.ddi_init(state["params"], x, cfg)
+        train_step = steplib.make_train_step(cfg, tx)
+        for i in range(3):
+            batch = jax.random.uniform(jax.random.key(10 + i), (8, 8, 8, 3))
+            state, metrics = train_step(state, batch)
+        results[impl] = float(metrics["loss"])
+    assert np.isfinite(results["pallas"])
+    np.testing.assert_allclose(results["pallas"], results["xla"], rtol=2e-2)
+
+
 def test_fused_under_data_parallel_mesh(eight_devices):
     """log_prob with the fused kernel on an 8-device DP mesh == unsharded."""
     from jax.sharding import NamedSharding, PartitionSpec as P
