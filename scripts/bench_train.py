@@ -44,9 +44,13 @@ def run(prof, impl: str, spc: int, remat: bool | None = None) -> dict:
     batches = jax.random.randint(
         jax.random.key(3), (spc, b, h, w, c), 0, 256, jnp.uint8
     )
+    y = None
+    if cfg.y_condition:
+        labels = jax.random.randint(jax.random.key(4), (spc, b), 0, cfg.y_classes)
+        y = jax.nn.one_hot(labels, cfg.y_classes)
 
     t0 = time.time()
-    state, metrics = step_n(state, batches)
+    state, metrics = step_n(state, batches, y)
     loss0 = float(jax.device_get(metrics["loss"]))  # full sync
     compile_s = time.time() - t0
 
@@ -57,7 +61,7 @@ def run(prof, impl: str, spc: int, remat: bool | None = None) -> dict:
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(n):
-            state, metrics = step_n(state, batches)
+            state, metrics = step_n(state, batches, y)
         float(jax.device_get(metrics["loss"]))
         return time.perf_counter() - t0, metrics
 
@@ -90,8 +94,12 @@ def main() -> None:
     prof = PRESETS[preset]
     print(f"# train-step A/B: {preset} b={prof.train.batch_size} spc={spc} "
           f"on {jax.devices()[0].device_kind}", flush=True)
+    pallas_remat = os.environ.get("AB_PALLAS_REMAT")  # unset = preset value
     for impl in impls:
-        remat = bool(int(xla_remat)) if impl == "xla" else None
+        if impl == "xla":
+            remat = bool(int(xla_remat))
+        else:
+            remat = None if pallas_remat is None else bool(int(pallas_remat))
         print(json.dumps(run(prof, impl, spc, remat=remat)), flush=True)
 
 
