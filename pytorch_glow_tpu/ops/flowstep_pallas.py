@@ -92,11 +92,29 @@ def _max_cols(c: int, hidden: int) -> int:
     return min(MAX_TILE_COLS, VMEM_BUDGET // _bytes_per_col(c, hidden))
 
 
+def _halo_rows(hh: int, ww: int, c: int, hidden: int) -> int | None:
+    """Rows-per-tile R for the halo-tiled variant (tiles subdivide ONE
+    image into hh/R row bands; the kernel recomputes a 2-row halo on each
+    side — the coupling net's receptive field — so rolls stay tile-local).
+    Returns the largest R with: R divides hh, R >= 4, R*ww lane-aligned,
+    and the (R+4)-row extended compute region within the VMEM budget."""
+    cap = _max_cols(c, hidden)
+    best = None
+    for r in range(4, hh):
+        if hh % r or (r * ww) % 128:
+            continue
+        if (r + 4) * ww <= cap:
+            best = r
+    return best
+
+
 def supported(h: int, w: int, c: int, hidden: int) -> bool:
-    """Tiles split at image boundaries (rolls need no cross-tile halo), so
-    one image's pixels must fit a VMEM-sized tile; larger resolutions (e.g.
-    the 128x128 levels of 256x256 configs) take the XLA path."""
-    return h * w <= _max_cols(c, hidden)
+    """Whole images per tile when one image's pixels fit the VMEM budget;
+    otherwise halo row-band tiles (e.g. the 128x128 levels of 256x256
+    configs).  False only when even a 4-row band cannot fit."""
+    if h * w <= _max_cols(c, hidden):
+        return True
+    return _halo_rows(h, w, c, hidden) is not None
 
 
 def _tile_batch(b: int, h: int, w: int, c: int, hidden: int) -> int:
@@ -241,12 +259,150 @@ def _make_kernel(reverse, tb, hh, ww, c, hidden, affine):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Halo-tiled variant: one tile = an R-row band of ONE image (for levels whose
+# whole image exceeds the VMEM budget, e.g. 128x128/64x64 of 256x256 configs).
+# The kernel sees three consecutive z blocks (prev/cur/next via shifted,
+# clamped index maps), assembles an (R+4)-row extended region in scratch, and
+# runs the SAME math as the whole-image kernel on it — the coupling net's
+# receptive field is 2 rows (two 3x3 convs), so every tap of a center-row
+# output lands inside the extended region.  Border masks use ABSOLUTE image
+# rows, which also zeroes taps into the clamped/foreign-image halo rows.
+# Forward + reverse only; the backward falls back to the XLA vjp at these
+# sizes (its cotangent scatter would need a second halo exchange).
+# ---------------------------------------------------------------------------
+
+
+def _halo_masks(row0, ww: int, hh: int, n: int):
+    """Like _border_masks but for an extended row band: `row0` is the
+    (traced) absolute image row of the buffer's first row; rows outside
+    [0, hh) — clamped halo / neighbouring image — mask to zero."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    x = idx % ww
+    y = row0 + idx // ww
+    masks = []
+    for dy, dx in OFFSETS:
+        ok_y = jnp.logical_and(y + dy - 1 >= 0, y + dy - 1 < hh)
+        ok_x = jnp.logical_and(x + dx - 1 >= 0, x + dx - 1 < ww)
+        masks.append(jnp.logical_and(ok_y, ok_x).astype(jnp.float32))
+    return masks
+
+
+def _make_kernel_halo(reverse, R, T, hh, ww, c, hidden, affine):
+    ch = c // 2
+    cout = c if affine else ch
+    n = (R + 4) * ww  # extended compute region
+    pad = 2 * ww
+
+    def kernel(zc_ref, zp_ref, zx_ref, wt_ref, anb_ref, anl_ref, w1_ref,
+               a1b_ref, a1l_ref, w2_ref, a2b_ref, a2l_ref, w3_ref, b3_ref,
+               l3_ref, zo_ref, ld_ref, p1, h1, h2, ext):
+        i = pl.program_id(0)
+        row0 = (i % T) * R - 2
+        masks = _halo_masks(row0, ww, hh, n)
+        ext[:, :pad] = zp_ref[:, (R - 2) * ww :]
+        ext[:, pad : pad + R * ww] = zc_ref[:]
+        ext[:, pad + R * ww :] = zx_ref[:, : pad]
+        z = ext[:]
+        if not reverse:
+            z = (z + anb_ref[:, 0:1]) * jnp.exp(anl_ref[:, 0:1])
+            z = jnp.dot(wt_ref[:], z, preferred_element_type=jnp.float32,
+                        precision=HIGHEST)
+        z1, z2 = z[:ch, :], z[ch:, :]
+        h = _net_T(z1, w1_ref, a1b_ref, a1l_ref, w2_ref, a2b_ref, a2l_ref,
+                   w3_ref, b3_ref, l3_ref, p1, h1, h2, masks,
+                   hh, ww, ch, cout)
+        if affine:
+            shift, raw = h[:ch, :], h[ch:, :]
+            s = jax.nn.sigmoid(raw + 2.0)
+            z2 = (z2 + shift) * s if not reverse else z2 / s - shift
+        else:
+            z2 = z2 + h if not reverse else z2 - h
+        zn = jnp.concatenate([z1, z2], axis=0)
+        if reverse:
+            zn = jnp.dot(wt_ref[:], zn, preferred_element_type=jnp.float32,
+                         precision=HIGHEST)
+            zn = zn * jnp.exp(-anl_ref[:, 0:1]) - anb_ref[:, 0:1]
+        zo_ref[:] = zn[:, pad : pad + R * ww]
+
+        @pl.when(i == 0)
+        def _():
+            ld_ref[:] = jnp.zeros_like(ld_ref)
+
+        if affine and not reverse:
+            # This tile's logdet contribution: log s over CENTER columns
+            # only (halo rows belong to other tiles), accumulated into the
+            # tile's image row.
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            center = jnp.logical_and(col >= pad, col < pad + R * ww)
+            contrib = jnp.sum(jnp.log(s) * center.astype(jnp.float32))
+            img = i // T
+            ld_ref[pl.ds(img, 1), :] = ld_ref[pl.ds(img, 1), :] + contrib
+
+    return kernel
+
+
+def _step_raw_halo(reverse, affine, hh, ww, b, zt, *weights):
+    c, total = zt.shape
+    ch = c // 2
+    cout = c if affine else ch
+    hidden = weights[3].shape[0]
+    R = _halo_rows(hh, ww, c, hidden)
+    assert R is not None, (hh, ww, c, hidden)
+    T = hh // R
+    G = b * T
+    n = R * ww
+    n_ext = (R + 4) * ww
+    kernel = _make_kernel_halo(reverse, R, T, hh, ww, c, hidden, affine)
+
+    rep = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    zcur = pl.BlockSpec((c, n), lambda i: (0, i), memory_space=pltpu.VMEM)
+    zprev = pl.BlockSpec(
+        (c, n), lambda i: (0, jnp.maximum(i - 1, 0)), memory_space=pltpu.VMEM
+    )
+    znext = pl.BlockSpec(
+        (c, n), lambda i: (0, jnp.minimum(i + 1, G - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    flops_net = 2 * total * hidden * (9 * ch + hidden + 9 * cout)
+    zn, ld = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[zcur, zprev, znext] + [rep(w.shape) for w in weights],
+        out_specs=[
+            zcur,
+            pl.BlockSpec((b, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, total), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9 * ch, n_ext), COUPLING_DTYPE),   # p1 patches
+            pltpu.VMEM((hidden, n_ext), COUPLING_DTYPE),   # h1
+            pltpu.VMEM((hidden, n_ext), COUPLING_DTYPE),   # h2
+            pltpu.VMEM((c, n_ext), jnp.float32),           # ext region
+        ],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_net + 4 * total * c * c,
+            bytes_accessed=4 * 4 * total * c,
+            transcendentals=total * ch,
+        ),
+    )(zt, zt, zt, *weights)
+    return zn, ld
+
+
 def _step_raw(reverse, affine, hh, ww, b, zt, *weights):
     """zt (C, B*H*W) image-major -> (zt_next, ld (B, 128))."""
     c, total = zt.shape
     ch = c // 2
     cout = c if affine else ch
     hidden = weights[3].shape[0]  # w1T (hidden, 9*ch)
+    if hh * ww > _max_cols(c, hidden):
+        return _step_raw_halo(reverse, affine, hh, ww, b, zt, *weights)
     tb = _tile_batch(b, hh, ww, c, hidden)
     n = tb * hh * ww
     kernel = _make_kernel(reverse, tb, hh, ww, c, hidden, affine)

@@ -108,7 +108,9 @@ def build(
     if (
         g.flowstep_impl == "xla"
         and g.compute_dtype == "bfloat16"
-        and not g.shard_spatial
+        # shard_spatial only matters with a real "model" axis; on a pure-DP
+        # mesh the constraints are no-ops and the kernel layout is safe.
+        and not (g.shard_spatial and mesh.shape.get("model", 1) > 1)
         and jax.default_backend() == "tpu"
     ):
         serve_g = _dc.replace(g, flowstep_impl="pallas")

@@ -114,6 +114,62 @@ def test_gradients_flow_through_fused_forward():
         )
 
 
+@pytest.fixture
+def force_halo(monkeypatch):
+    """Shrink the whole-image tile cap so a 32x32 image takes the halo
+    row-band path (as the 128x128 levels of 256x256 configs do for real)."""
+    monkeypatch.setattr(fsp, "MAX_TILE_COLS", 512)
+    fsp._partitioned.cache_clear()
+    yield
+    fsp._partitioned.cache_clear()
+
+
+@pytest.mark.parametrize("mode", ["affine", "additive"])
+def test_halo_tiled_forward_matches_xla(force_halo, mode):
+    cfg = dataclasses.replace(CFG, flow_coupling=mode, hidden_channels=32)
+    c, h, w = 12, 32, 32
+    assert h * w > fsp._max_cols(c, cfg.hidden_channels)  # halo path engaged
+    assert fsp._halo_rows(h, w, c, cfg.hidden_channels) == 8
+    sp = _noisy_step_params(c, cfg)
+    z = jax.random.normal(jax.random.key(2), (3, h, w, c), jnp.float32)
+    kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
+    zn, ld = fsp.step_forward(sp, z, kind, mode == "affine")
+    zr, lr = _fused_ref_forward(sp, z, kind, mode)
+    np.testing.assert_allclose(np.asarray(zn), np.asarray(zr), atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(lr), atol=2e-1, rtol=2e-2)
+
+
+def test_halo_tiled_roundtrip_exact(force_halo):
+    cfg = dataclasses.replace(CFG, hidden_channels=32)
+    sp = _noisy_step_params(12, cfg)
+    z = jax.random.normal(jax.random.key(3), (2, 32, 32, 12), jnp.float32)
+    kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
+    zn, _ = fsp.step_forward(sp, z, kind, True)
+    z_rec = fsp.step_reverse(sp, zn, kind, True)
+    np.testing.assert_allclose(np.asarray(z_rec), np.asarray(z), atol=2e-5)
+
+
+def test_halo_tiled_under_dp_mesh(force_halo, eight_devices):
+    """Halo path under a DP mesh: sharded == unsharded forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorch_glow_tpu.parallel import mesh as meshlib
+
+    cfg = dataclasses.replace(CFG, hidden_channels=32)
+    sp = _noisy_step_params(12, cfg)
+    kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
+    z = jax.random.normal(jax.random.key(5), (8, 32, 32, 12), jnp.float32)
+    zt = fsp.to_t(z)
+    fn = lambda zt: fsp.step_forward_t(sp, zt, (32, 32), 8, kind, True)  # noqa: E731
+    zn_l, ld_l = jax.jit(fn)(zt)
+
+    mesh = meshlib.make_mesh(MeshConfig(data=8, model=1))
+    zts = jax.device_put(zt, NamedSharding(mesh, P(None, "data")))
+    zn_s, ld_s = jax.jit(fn)(zts)
+    np.testing.assert_allclose(np.asarray(zn_s), np.asarray(zn_l), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_s), np.asarray(ld_l), atol=1e-4)
+
+
 def _noisy_step_params(c, cfg):
     sp = glow._flow_step_init(jax.random.key(0), c, cfg)
     return jax.tree.map(
