@@ -83,9 +83,11 @@ VMEM_BUDGET = 8 * 2**20 + 2**19
 
 def _bytes_per_col(c: int, hidden: int) -> int:
     """Approximate VMEM bytes per pixel column: h1+h2 (bf16) + p1 patches
-    (bf16) + double-buffered f32 in/out blocks + acc/y_k f32 values."""
+    (bf16) + double-buffered f32 in/out blocks + acc/y_k f32 values +
+    the tap-packed conv3 intermediate on narrow levels."""
     ch = c // 2
-    return 2 * hidden * 2 + 9 * ch * 2 + 4 * c * 4 + 2 * c * 4
+    packed_y = 9 * c * 4 if 9 * c <= 256 else 0
+    return 2 * hidden * 2 + 9 * ch * 2 + 4 * c * 4 + 2 * c * 4 + packed_y
 
 
 def _max_cols(c: int, hidden: int) -> int:
@@ -186,17 +188,27 @@ def _net_T(z1, w1_ref, a1b_ref, a1l_ref, w2_ref, a2b_ref, a2l_ref,
     a = _dot_bf16(w2_ref[:], h1[:])
     a = (a + a2b_ref[:, 0:1]) * jnp.exp(a2l_ref[:, 0:1])
     h2[:] = jnp.maximum(a, 0.0).astype(COUPLING_DTYPE)
-    # conv3: one slim matmul per tap (transposed layout pads M=cout only to
-    # the 8-sublane granule, so tap-separate matmuls waste nothing and avoid
-    # a (9*cout, n) f32 intermediate that would blow VMEM at wide levels).
-    acc = jnp.zeros((cout, n), jnp.float32)
-    for k, (dy, dx) in enumerate(OFFSETS):
-        off = (dy - 1) * ww + (dx - 1)
-        yk = _dot_bf16(w3_ref[k * cout : (k + 1) * cout, :], h2[:])
-        # out[p] += Y[p + off, tap k] — same gather direction as conv1's
-        # taps; the mask (a function of the OUTPUT pixel) zeroes taps that
-        # would reach across an image border or wrap around the tile.
-        acc = acc + _roll_lanes(yk, -off) * masks[k]
+    # conv3.  Narrow levels (9*cout <= 256): ONE tap-packed
+    # (9*cout, hidden) @ (hidden, n) matmul — M=9*cout fills the MXU's row
+    # dimension where nine separate M=cout matmuls leave it ~90% idle
+    # (level 0 of the 64x64 configs is 76% of step time; measured win).
+    # Wide levels keep tap-separate matmuls: the packed (9*cout, n) f32
+    # intermediate would blow VMEM there, and they are a tiny time share.
+    if 9 * cout <= 256:
+        y = _dot_bf16(w3_ref[:], h2[:])  # (9*cout, n) f32
+        acc = jnp.zeros((cout, n), jnp.float32)
+        for k, (dy, dx) in enumerate(OFFSETS):
+            off = (dy - 1) * ww + (dx - 1)
+            # out[p] += Y[p + off, tap k] — same gather direction as conv1's
+            # taps; the mask (a function of the OUTPUT pixel) zeroes taps
+            # that would cross an image border or wrap around the tile.
+            acc = acc + _roll_lanes(y[k * cout : (k + 1) * cout, :], -off) * masks[k]
+    else:
+        acc = jnp.zeros((cout, n), jnp.float32)
+        for k, (dy, dx) in enumerate(OFFSETS):
+            off = (dy - 1) * ww + (dx - 1)
+            yk = _dot_bf16(w3_ref[k * cout : (k + 1) * cout, :], h2[:])
+            acc = acc + _roll_lanes(yk, -off) * masks[k]
     return (acc + b3_ref[:, 0:1]) * jnp.exp(l3_ref[:, 0:1] * 3.0)
 
 
@@ -583,6 +595,11 @@ def _make_bwd_kernel(tb, hh, ww, c, hidden, affine):
         a = _dot_bf16(w2_ref[:], h1[:])
         a = (a + a2b_ref[:, 0:1]) * jnp.exp(a2l_ref[:, 0:1])
         h2[:] = jnp.maximum(a, 0.0).astype(COUPLING_DTYPE)
+        # conv3 recompute stays TAP-SEPARATE here: the packed variant that
+        # wins 24% in the forward kernel measured a ~25x REGRESSION inside
+        # this (much larger) kernel — the extra live (9*cout, n) f32 pushes
+        # Mosaic into a pathological schedule.  The recompute is ~10% of
+        # backward FLOPs, so slim matmuls cost little.
         acc = jnp.zeros((cout, n), jnp.float32)
         for k, (dy, dx) in enumerate(OFFSETS):
             off = (dy - 1) * ww + (dx - 1)
