@@ -80,6 +80,30 @@ def param_pspec(path, leaf, tp: bool) -> P:
     return P()
 
 
+def put_global(x: Any, sharding: NamedSharding):
+    """Place one host/local array onto a (possibly multi-process) sharding.
+
+    `jax.device_put` refuses shardings that span non-addressable devices;
+    under `jax.process_count() > 1` every process holds the same host value
+    (replicated init / restored snapshot), so each builds its addressable
+    shards via `make_array_from_callback`.  Typed PRNG keys round-trip
+    through their uint32 key data."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+        x.dtype, jax.dtypes.prng_key
+    ):
+        impl = jax.random.key_impl(x)
+        data = put_global(np.asarray(jax.random.key_data(x)), sharding)
+        return jax.random.wrap_key_data(data, impl=impl)
+    host = np.asarray(x)
+    return jax.make_array_from_callback(host.shape, sharding, lambda idx: host[idx])
+
+
+def put_global_tree(tree: Any, shardings: Any):
+    return jax.tree.map(put_global, tree, shardings)
+
+
 def param_shardings(mesh: Mesh, params: Any, tp: bool | None = None):
     """NamedSharding tree matching `params` (works for opt_state too via
     tree_map over matching-structure trees)."""
@@ -91,5 +115,5 @@ def param_shardings(mesh: Mesh, params: Any, tp: bool | None = None):
 
 
 def shard_params(mesh: Mesh, params: Any, tp: bool | None = None):
-    """device_put the param tree with its sharding rules."""
-    return jax.device_put(params, param_shardings(mesh, params, tp))
+    """Place the param tree onto its sharding rules (multi-process safe)."""
+    return put_global_tree(params, param_shardings(mesh, params, tp))

@@ -75,14 +75,14 @@ def build(
     # shardings (replicated or TP), step/rng fully replicated — mixing
     # mesh-sharded and single-device arrays in one jit is an error.
     state["params"] = meshlib.shard_params(mesh, state["params"])
-    state["opt_state"] = jax.device_put(
+    state["opt_state"] = meshlib.put_global_tree(
         state["opt_state"], meshlib.param_shardings(mesh, state["opt_state"])
     )
     rep = meshlib.replicated(mesh)
-    state["step"] = jax.device_put(state["step"], rep)
-    state["rng"] = jax.device_put(state["rng"], rep)
+    state["step"] = meshlib.put_global(state["step"], rep)
+    state["rng"] = meshlib.put_global(state["rng"], rep)
     if "ema" in state:
-        state["ema"] = jax.device_put(
+        state["ema"] = meshlib.put_global_tree(
             state["ema"], meshlib.param_shardings(mesh, state["ema"])
         )
 
