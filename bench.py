@@ -20,7 +20,9 @@ independent torch-CPU parity implementation (tests/torch_ref.py) on this
 host, cached in bench_baseline_torch.json (regenerate with
 `python scripts/bench_baseline_torch.py`).
 
-Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 10),
+Env knobs: BENCH_BATCH (default 256; within-process A/B measured b256 +3%
+over b128 on the fused kernels — deeper grids amortize fixed costs),
+BENCH_ITERS (default 30),
 BENCH_FLOWSTEP (pallas|xla; default pallas — the fused whole-flow-step
 kernel, ops/flowstep_pallas.py, +60% over the XLA path on v5e),
 BENCH_INVCONV (xla|pallas; only used when BENCH_FLOWSTEP=xla),
@@ -44,7 +46,7 @@ def main() -> None:
     from pytorch_glow_tpu.models import glow
 
     preset = os.environ.get("BENCH_PRESET", "celeba64")
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     invconv = os.environ.get("BENCH_INVCONV", "xla")
     flowstep = os.environ.get("BENCH_FLOWSTEP", "pallas")
