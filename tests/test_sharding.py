@@ -194,3 +194,27 @@ def test_two_process_multihost_smoke():
     out = json.loads(line)
     assert out["multihost_smoke"] == "OK"
     assert len(out["procs"]) == 2
+
+
+def test_put_global_single_process(eight_devices):
+    """Single-process put_global == device_put for arrays, typed PRNG keys,
+    and sharded specs (the multi-process branch is covered by the smoke)."""
+    mesh = meshlib.make_mesh(MeshConfig(data=8, model=1))
+    rep = meshlib.replicated(mesh)
+
+    x = jnp.arange(16.0).reshape(8, 2)
+    gx = meshlib.put_global(x, meshlib.batch_sharding(mesh))
+    assert gx.sharding.spec == jax.sharding.PartitionSpec("data")
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(x))
+
+    key = jax.random.key(7)
+    gkey = meshlib.put_global(key, rep)
+    assert jax.dtypes.issubdtype(gkey.dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(gkey)), np.asarray(jax.random.key_data(key))
+    )
+    # The placed key must behave identically.
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.uniform(gkey, (3,))),
+        np.asarray(jax.random.uniform(key, (3,))),
+    )
