@@ -95,6 +95,13 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
                 if not np.isfinite(host["loss"]):
                     raise FloatingPointError(f"non-finite loss at step {step}: {host}")
 
+            # Rolling snapshot BEFORE plot/eval at the same boundary: their
+            # first iterations pay jit compiles (minutes on tunneled TPUs)
+            # and a crash mid-plot/eval must not lose everything since the
+            # previous snapshot (found by a resumed-soak on real hardware).
+            if built.ckpt is not None and t.checkpoint_gap and step % t.checkpoint_gap == 0:
+                built.ckpt.save(step, state, data_state=_data_state(built))
+
             if t.plot_gap and step % t.plot_gap == 0:
                 rng = jax.random.fold_in(jax.random.key(t.seed + 2), step)
                 y_s = None if y is None else y[: t.num_sample_images]
@@ -154,9 +161,6 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
                             if built.ckpt.maybe_save_best(step, state, ev["eval_nll"]):
                                 ev["best_eval_nll"] = ev["eval_nll"]
                         logger.scalars(step, ev)
-
-            if built.ckpt is not None and t.checkpoint_gap and step % t.checkpoint_gap == 0:
-                built.ckpt.save(step, state, data_state=_data_state(built))
     except BaseException:
         # Do NOT snapshot on the way out of a failure: `state` may reference
         # donated (deleted) buffers if train_step itself raised, and a
