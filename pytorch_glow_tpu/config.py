@@ -105,6 +105,11 @@ class TrainConfig:
     # Polyak averaging of trainable params for eval/sampling (Glow paper
     # practice; 0 disables — the reference lineage has no EMA).
     ema_decay: float = 0.0
+    # Skip optimizer updates with non-finite grads, up to N consecutive
+    # (optax.apply_if_finite; Glow-paper practice — affine-coupling scales
+    # transiently saturate).  0 disables.  The trainer only aborts after 3
+    # consecutive non-finite scalar logs (params actually poisoned).
+    skip_nonfinite_updates: int = 6
     # Observability / debugging (SURVEY.md §5; no reference counterpart):
     profile_step: int = 0  # start a jax.profiler trace at this step (0 = off)
     profile_num_steps: int = 3

@@ -66,4 +66,14 @@ def make_optimizer(opt_cfg: OptimConfig, train_cfg: TrainConfig) -> optax.Gradie
         # Accumulate N micro-batch grads per optimizer step (the TPU-native
         # answer to "batch does not fit": no reference counterpart).
         tx = optax.MultiSteps(tx, every_k_schedule=train_cfg.grad_accum)
+    if getattr(train_cfg, "skip_nonfinite_updates", 0) > 0:
+        # Skip optimizer updates whose grads contain NaN/Inf (Glow-paper
+        # practice; affine-coupling scales can transiently saturate).
+        # Outermost so a skipped step leaves ALL inner state — including
+        # MultiSteps accumulators — untouched.  Found necessary by an
+        # 8k-step hardware soak: one NaN step at 6700 otherwise kills the
+        # run, and bitwise-deterministic resume replays the same NaN.
+        tx = optax.apply_if_finite(
+            tx, max_consecutive_errors=train_cfg.skip_nonfinite_updates
+        )
     return tx

@@ -51,6 +51,7 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
     t_start = time.perf_counter()
     profiling = False
     failed = False
+    nonfinite_logs = 0
 
     try:
         while step < num_steps:
@@ -93,7 +94,18 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
                 logger.scalars(step, host)
                 last_metrics = host
                 if not np.isfinite(host["loss"]):
-                    raise FloatingPointError(f"non-finite loss at step {step}: {host}")
+                    # With skip_nonfinite_updates the optimizer drops bad
+                    # steps, so an isolated NaN loss is survivable; only
+                    # PERSISTENT non-finite logs mean poisoned params.
+                    nonfinite_logs += 1
+                    limit = 3 if t.skip_nonfinite_updates else 1
+                    if nonfinite_logs >= limit:
+                        raise FloatingPointError(
+                            f"non-finite loss at step {step} "
+                            f"({nonfinite_logs} consecutive logs): {host}"
+                        )
+                else:
+                    nonfinite_logs = 0
 
             # Rolling snapshot BEFORE plot/eval at the same boundary: their
             # first iterations pay jit compiles (minutes on tunneled TPUs)

@@ -244,6 +244,82 @@ def test_celebahq256_structure_trains_5bit_L6(tmp_path):
     assert np.abs(x.astype(np.int16) - rec.astype(np.int16)).max() <= 8
 
 
+def test_nonfinite_grads_skip_update(tmp_path):
+    """A NaN-poisoned batch must NOT corrupt params: the optimizer skips
+    non-finite updates (optax.apply_if_finite; found by an 8k-step hardware
+    soak where one NaN step killed the run and deterministic resume
+    replayed it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_glow_tpu.utils.tree import partition
+
+    p = micro_profile(tmp_path)
+    assert p.train.skip_nonfinite_updates > 0  # default on
+    built = builderlib.build(p)
+    state = built.state
+    good = next(built.data)["image"]
+    state, m = built.train_step(state, good)
+    before = jax.tree.map(np.asarray, partition(state["params"])[0])
+
+    bad = jnp.asarray(good, jnp.float32).at[0, 0, 0, 0].set(jnp.nan)
+    state, m = built.train_step(state, bad)
+    assert not np.isfinite(float(m["loss"]))
+    after = dict(jax.tree_util.tree_leaves_with_path(partition(state["params"])[0]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(before):
+        np.testing.assert_array_equal(  # bitwise: the update was skipped
+            np.asarray(after[path]), leaf, err_msg=jax.tree_util.keystr(path)
+        )
+
+    state, m = built.train_step(state, good)  # training continues
+    assert np.isfinite(float(m["loss"]))
+    after2 = dict(jax.tree_util.tree_leaves_with_path(partition(state["params"])[0]))
+    assert any(
+        not np.array_equal(np.asarray(after2[path]), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(before)
+    )
+
+
+def test_trainer_survives_isolated_nan_log(tmp_path):
+    """One non-finite scalar log must not abort training (the optimizer
+    skipped the update); three consecutive ones must."""
+    import jax.numpy as jnp
+
+    p = micro_profile(tmp_path).replace(
+        train=TrainConfig(batch_size=16, num_steps=12, scalar_log_gap=2,
+                          plot_gap=0, checkpoint_gap=0),
+    )
+    built = builderlib.build(p)
+    real_step = built.train_step
+    calls = {"n": 0}
+
+    def step_with_one_nan(state, batch, y=None):
+        state, metrics = real_step(state, batch, y)
+        calls["n"] += 1
+        if calls["n"] == 4:
+            metrics = {**metrics, "loss": jnp.float32(jnp.nan)}
+        return state, metrics
+
+    built.train_step = step_with_one_nan
+    result = trainerlib.train(built, quiet=True)  # must not raise
+    assert result["final_step"] == 12 and np.isfinite(result["loss"])
+
+    p2 = micro_profile(tmp_path / "b").replace(
+        train=TrainConfig(batch_size=16, num_steps=12, scalar_log_gap=2,
+                          plot_gap=0, checkpoint_gap=0),
+    )
+    built2 = builderlib.build(p2)
+    real2 = built2.train_step
+
+    def step_always_nan(state, batch, y=None):
+        state, metrics = real2(state, batch, y)
+        return state, {**metrics, "loss": jnp.float32(jnp.nan)}
+
+    built2.train_step = step_always_nan
+    with pytest.raises(FloatingPointError, match="3 consecutive"):
+        trainerlib.train(built2, quiet=True)
+
+
 def test_model_summary():
     from pytorch_glow_tpu.utils.summary import param_count, summarize
     import jax
