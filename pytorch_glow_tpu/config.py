@@ -107,9 +107,11 @@ class TrainConfig:
     ema_decay: float = 0.0
     # Skip optimizer updates with non-finite grads, up to N consecutive
     # (optax.apply_if_finite; Glow-paper practice — affine-coupling scales
-    # transiently saturate).  0 disables.  The trainer only aborts after 3
-    # consecutive non-finite scalar logs (params actually poisoned).
-    skip_nonfinite_updates: int = 6
+    # transiently saturate).  0 disables.  After N consecutive skips optax
+    # "gives up and accepts" (poisoning params), so keep N large — the
+    # trainer's own guard (3 consecutive non-finite scalar logs) aborts
+    # genuinely-stuck runs long before that.
+    skip_nonfinite_updates: int = 100
     # Observability / debugging (SURVEY.md §5; no reference counterpart):
     profile_step: int = 0  # start a jax.profiler trace at this step (0 = off)
     profile_num_steps: int = 3

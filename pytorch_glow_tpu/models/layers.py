@@ -322,8 +322,12 @@ def coupling_forward(
         scale = jax.nn.sigmoid(raw + 2.0)
         z2 = (z2 + shift.astype(z2.dtype)) * scale.astype(z2.dtype)
         if logdet is not None:
+            # log_sigmoid, NOT log(sigmoid(x)): same value, but the naive
+            # composition's gradient is (g/s)*s*(1-s) -> inf*0 = NaN once a
+            # scale saturates to 0; log_sigmoid's gradient is g*(1-s),
+            # finite everywhere (hit at step ~5k of a hardware soak).
             logdet = logdet + jnp.sum(
-                jnp.log(scale), axis=tuple(range(1, scale.ndim))
+                jax.nn.log_sigmoid(raw + 2.0), axis=tuple(range(1, scale.ndim))
             )
     return cat_channel(z1, z2, "simple"), logdet, new_net
 

@@ -245,8 +245,11 @@ def _make_kernel(reverse, tb, hh, ww, c, hidden, affine):
         if affine and not reverse:
             # Per-image logdet: reduce sublanes, then fold each image's
             # pixel lanes with a 0/1 selection matmul (lane reshapes of the
-            # pixel axis are not Mosaic-friendly).
-            colsum = jnp.sum(jnp.log(s), axis=0, keepdims=True)  # (1, n)
+            # pixel axis are not Mosaic-friendly).  log_sigmoid, not
+            # log(sigmoid): stable value AND gradient at saturated scales.
+            colsum = jnp.sum(
+                jax.nn.log_sigmoid(raw + 2.0), axis=0, keepdims=True
+            )  # (1, n)
             img = jax.lax.broadcasted_iota(jnp.int32, (tb, n), 1) // (hh * ww)
             sel = (
                 img == jax.lax.broadcasted_iota(jnp.int32, (tb, n), 0)
@@ -347,7 +350,9 @@ def _make_kernel_halo(reverse, R, T, hh, ww, c, hidden, affine):
             # tile's image row.
             col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
             center = jnp.logical_and(col >= pad, col < pad + R * ww)
-            contrib = jnp.sum(jnp.log(s) * center.astype(jnp.float32))
+            contrib = jnp.sum(
+                jax.nn.log_sigmoid(raw + 2.0) * center.astype(jnp.float32)
+            )
             img = i // T
             ld_ref[pl.ds(img, 1), :] = ld_ref[pl.ds(img, 1), :] + contrib
 
@@ -614,8 +619,14 @@ def _make_bwd_kernel(tb, hh, ww, c, hidden, affine):
         if affine:
             shift, raw = out[:ch, :], out[ch:, :]
             s = jax.nn.sigmoid(raw + 2.0)
-            g_s = go2 * (v2 + shift) + gld_ref[0:1, :] / s  # dld/ds = 1/s
-            g_raw = g_s * s * (1.0 - s)
+            # Analytically-fused cotangent: the naive g_s = ... + gld/s then
+            # * s*(1-s) computes inf*0 = NaN once s saturates to 0; the
+            # fused form  gld*(1-s)  is finite everywhere (= d/draw of
+            # log_sigmoid, matching the forward's logdet term).
+            g_raw = (
+                go2 * (v2 + shift) * (s * (1.0 - s))
+                + gld_ref[0:1, :] * (1.0 - s)
+            )
             g_v2 = go2 * s
             g_out = jnp.concatenate([g_v2, g_raw], axis=0)  # g_shift == g_v2
         else:

@@ -271,6 +271,46 @@ def test_fused_backward_under_dp_mesh(eight_devices):
         )
 
 
+def test_saturated_scale_gradients_finite():
+    """When an affine-coupling scale saturates to 0 (sigmoid underflow),
+    gradients must stay FINITE on both the fused-backward and XLA paths:
+    the naive d log(sigmoid) composition yields inf*0 = NaN and killed an
+    8k-step hardware soak; log_sigmoid / the fused cotangent do not."""
+    c, h, w, b = 12, 4, 4, 4
+    sp = _noisy_step_params(c, CFG)
+    # Zero-init conv3 weights + a hugely negative bias on the raw (odd
+    # cross-split) channels: raw = -200 -> s = sigmoid(-198) == 0.0 in f32.
+    cp3 = sp["coupling"]["conv3"]
+    bias = cp3["b"].at[1::2].set(-200.0)
+    sp["coupling"]["conv3"] = {**cp3, "w": jnp.zeros_like(cp3["w"]),
+                               "b": bias, "logs": jnp.zeros_like(cp3["logs"])}
+    kind = L.permutation_kind(CFG.flow_permutation, CFG.lu_decomposed)
+    zt = fsp.to_t(jax.random.normal(jax.random.key(2), (b, h, w, c)))
+    gz = jax.random.normal(jax.random.key(3), zt.shape)
+    gl = jax.random.normal(jax.random.key(4), (b,))
+
+    def check(fn, tag):
+        def loss(sp, zt):
+            zn, ld = fn(sp, zt)
+            assert_finite = jnp.sum(zn * gz) + jnp.sum(ld * gl)
+            return assert_finite
+
+        val = float(loss(sp, zt))
+        assert np.isfinite(val), f"{tag} primal"
+        g = jax.grad(loss, argnums=(0, 1), allow_int=True)(sp, zt)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+            if leaf.dtype == jax.dtypes.float0:
+                continue
+            assert np.isfinite(np.asarray(leaf, np.float32)).all(), (
+                f"{tag}: non-finite grad at {jax.tree_util.keystr(path)}"
+            )
+
+    check(lambda s, x: glow._fused_step_forward(s, x, kind, "affine", (h, w), b),
+          "fused kernel")
+    check(lambda s, x: glow._fused_ref_forward_t(s, x, kind, "affine", (h, w), b),
+          "xla ref")
+
+
 def test_train_step_on_fused_kernel(tmp_path):
     """A few real train steps with flowstep_impl=pallas: finite loss,
     trajectory tracks the XLA impl (bf16 rounding apart)."""
