@@ -26,7 +26,11 @@ def _step_params(c: int, cfg=CFG, seed: int = 0):
 
 
 @pytest.mark.parametrize("mode", ["affine", "additive"])
-@pytest.mark.parametrize("c,h,w", [(12, 4, 4), (8, 6, 6), (24, 2, 2)])
+@pytest.mark.parametrize("c,h,w", [
+    (12, 4, 4), (8, 6, 6), (24, 2, 2),
+    (6, 5, 7),   # odd H/W + the minimum channel count (level-0 c of RGB)
+    (16, 3, 5),  # asymmetric odd spatial
+])
 def test_step_forward_matches_xla(mode, c, h, w):
     cfg = dataclasses.replace(CFG, flow_coupling=mode)
     sp = _step_params(c, cfg)
