@@ -247,3 +247,24 @@ def test_schedules():
     late = float(noam(jnp.asarray(10000.0)))
     assert peak_region > late  # decays after warmup
     assert float(noam(jnp.asarray(0.0))) < peak_region  # ramps up
+
+
+@pytest.mark.skipif(not GRAIN_AVAILABLE, reason="grain not installed")
+def test_grain_worker_processes_and_state(tmp_path):
+    """grain_workers > 0: decode runs in spawned worker PROCESSES, and the
+    opaque iterator state still checkpoints/restores across a fresh pool."""
+    from pytorch_glow_tpu.data.pipeline import make_dataset
+
+    _fake_cifar10(tmp_path)
+    cfg = DataConfig(name="cifar10", root=str(tmp_path), loader="grain",
+                     grain_workers=2)
+    it = make_dataset(cfg, GlowConfig(image_shape=(32, 32, 3)),
+                      TrainConfig(batch_size=8))
+    assert next(it)["image"].shape == (8, 32, 32, 3)
+    state = it.get_state()
+    want = next(it)
+
+    it2 = make_dataset(cfg, GlowConfig(image_shape=(32, 32, 3)),
+                       TrainConfig(batch_size=8))
+    it2.set_state(state)
+    np.testing.assert_array_equal(next(it2)["image"], want["image"])
