@@ -194,6 +194,11 @@ PRESETS: dict[str, Profile] = {
         # the lowest-bits/dim snapshot in checkpoints-best (model selection
         # for the <=3.4 bits/dim CIFAR-10 north star; docs/REAL_DATA.md).
         train=TrainConfig(batch_size=256, steps_per_call=5, eval_gap=1000),
+        # noam (warmup then inverse-sqrt decay): the round-2 hardware soaks
+        # found constant post-warmup lr "reliably diverges" past ~4-6k steps
+        # while noam completed 20k steps (docs/BENCHMARKING.md); the 600k-step
+        # north-star recipes must not default to the known-fragile schedule.
+        optim=OptimConfig(schedule="noam"),
         data=DataConfig(name="cifar10", image_size=32),
     ),
     "celeba64": Profile(
@@ -212,6 +217,7 @@ PRESETS: dict[str, Profile] = {
         ),
         train=TrainConfig(batch_size=128, sample_temperature=0.7,
                           steps_per_call=5, eval_gap=2000),
+        optim=OptimConfig(schedule="noam"),  # survivable default (see cifar10)
         data=DataConfig(name="celeba", image_size=64),
     ),
     "imagenet64-cond": Profile(
@@ -229,7 +235,10 @@ PRESETS: dict[str, Profile] = {
             flowstep_impl="pallas",
             remat=True,
         ),
-        train=TrainConfig(batch_size=128, steps_per_call=5),
+        # Held-out eval + best-checkpoint tracking ON (round-2 verdict: the
+        # ImageNet north-star config must not train blind).
+        train=TrainConfig(batch_size=128, steps_per_call=5, eval_gap=2000),
+        optim=OptimConfig(schedule="noam"),  # survivable default (see cifar10)
         data=DataConfig(name="imagenet64", image_size=64),
     ),
     "celebahq256": Profile(
@@ -246,7 +255,8 @@ PRESETS: dict[str, Profile] = {
             shard_spatial=True,  # H over "model" when mesh.model > 1
         ),
         train=TrainConfig(batch_size=64, sample_temperature=0.7,
-                          steps_per_call=5),
+                          steps_per_call=5, eval_gap=2000),
+        optim=OptimConfig(schedule="noam"),  # survivable default (see cifar10)
         data=DataConfig(name="celebahq", image_size=256),
         mesh=MeshConfig(data=-1, model=1),
     ),

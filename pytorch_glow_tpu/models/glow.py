@@ -166,7 +166,9 @@ def _fused_bwd_rule(kind, mode, hw, b, res, g):
     from pytorch_glow_tpu.ops import flowstep_pallas as fsp
 
     hidden = sp["coupling"]["conv1"]["w"].shape[-1]
-    if fsp.backward_supported(hw[0], hw[1], zt.shape[0], hidden):
+    if fsp.backward_supported(
+        hw[0], hw[1], zt.shape[0], hidden, b, mode == "affine"
+    ):
         # Fused backward kernel: recomputes the forward in VMEM and emits
         # cotangents for (packed weights, zt) in one pass; packed-weight
         # grads map back to the param pytree through the vjp of the packing
@@ -222,7 +224,10 @@ def _use_fused(cfg: GlowConfig, z) -> bool:
         return False
     from pytorch_glow_tpu.ops import flowstep_pallas as fsp
 
-    return fsp.supported(z.shape[1], z.shape[2], z.shape[3], cfg.hidden_channels)
+    return fsp.supported(
+        z.shape[1], z.shape[2], z.shape[3], cfg.hidden_channels,
+        cfg.flow_coupling == "affine",
+    )
 
 
 def _scan_steps_forward(steps: Params, z, logdet, cfg: GlowConfig, ddi: bool):

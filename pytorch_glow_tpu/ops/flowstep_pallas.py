@@ -81,26 +81,37 @@ MAX_TILE_COLS = 4096
 VMEM_BUDGET = 8 * 2**20 + 2**19
 
 
-def _bytes_per_col(c: int, hidden: int) -> int:
+def _bytes_per_col(c: int, hidden: int, affine: bool = True) -> int:
     """Approximate VMEM bytes per pixel column: h1+h2 (bf16) + p1 patches
     (bf16) + double-buffered f32 in/out blocks + acc/y_k f32 values +
-    the tap-packed conv3 intermediate on narrow levels."""
+    the tap-packed conv3 intermediate on narrow levels.  The packed-conv3
+    predicate matches _net_T's exactly (9*cout, with cout depending on the
+    coupling mode) so the budget covers the (9*cout, n) f32 intermediate
+    whenever the kernel actually allocates it."""
     ch = c // 2
-    packed_y = 9 * c * 4 if 9 * c <= 256 else 0
+    cout = c if affine else ch
+    packed_y = 9 * cout * 4 if 9 * cout <= 256 else 0
     return 2 * hidden * 2 + 9 * ch * 2 + 4 * c * 4 + 2 * c * 4 + packed_y
 
 
-def _max_cols(c: int, hidden: int) -> int:
-    return min(MAX_TILE_COLS, VMEM_BUDGET // _bytes_per_col(c, hidden))
+def _max_cols(c: int, hidden: int, affine: bool = True) -> int:
+    return min(MAX_TILE_COLS, VMEM_BUDGET // _bytes_per_col(c, hidden, affine))
 
 
-def _halo_rows(hh: int, ww: int, c: int, hidden: int) -> int | None:
+def _halo_rows(hh: int, ww: int, c: int, hidden: int,
+               affine: bool = True) -> int | None:
     """Rows-per-tile R for the halo-tiled variant (tiles subdivide ONE
     image into hh/R row bands; the kernel recomputes a 2-row halo on each
     side — the coupling net's receptive field — so rolls stay tile-local).
     Returns the largest R with: R divides hh, R >= 4, R*ww lane-aligned,
-    and the (R+4)-row extended compute region within the VMEM budget."""
-    cap = _max_cols(c, hidden)
+    and the (R+4)-row extended compute region within the VMEM budget.
+
+    The halo pallas_call additionally keeps three z input blocks
+    (prev/cur/next, double-buffered) and a (c, n_ext) f32 ext scratch the
+    whole-image byte model does not know about — ~5*c*4 extra bytes per
+    extended column — so the halo path budgets them explicitly."""
+    halo_bytes = _bytes_per_col(c, hidden, affine) + 5 * c * 4
+    cap = min(MAX_TILE_COLS, VMEM_BUDGET // halo_bytes)
     best = None
     for r in range(4, hh):
         if hh % r or (r * ww) % 128:
@@ -110,22 +121,23 @@ def _halo_rows(hh: int, ww: int, c: int, hidden: int) -> int | None:
     return best
 
 
-def supported(h: int, w: int, c: int, hidden: int) -> bool:
+def supported(h: int, w: int, c: int, hidden: int, affine: bool = True) -> bool:
     """Whole images per tile when one image's pixels fit the VMEM budget;
     otherwise halo row-band tiles (e.g. the 128x128 levels of 256x256
     configs).  False only when even a 4-row band cannot fit."""
-    if h * w <= _max_cols(c, hidden):
+    if h * w <= _max_cols(c, hidden, affine):
         return True
-    return _halo_rows(h, w, c, hidden) is not None
+    return _halo_rows(h, w, c, hidden, affine) is not None
 
 
-def _tile_batch(b: int, h: int, w: int, c: int, hidden: int) -> int:
+def _tile_batch(b: int, h: int, w: int, c: int, hidden: int,
+                affine: bool = True) -> int:
     """Images per grid step: pixel tiles must be lane-aligned (multiple of
     128 columns) unless a single tile covers the whole array; as many
     columns as the VMEM budget allows (bigger tiles amortize grid overhead;
     measured best on v5e)."""
     hw = h * w
-    cap = _max_cols(c, hidden)
+    cap = _max_cols(c, hidden, affine)
     best = None
     for d in range(1, b + 1):
         if b % d:
@@ -283,8 +295,10 @@ def _make_kernel(reverse, tb, hh, ww, c, hidden, affine):
 # receptive field is 2 rows (two 3x3 convs), so every tap of a center-row
 # output lands inside the extended region.  Border masks use ABSOLUTE image
 # rows, which also zeroes taps into the clamped/foreign-image halo rows.
-# Forward + reverse only; the backward falls back to the XLA vjp at these
-# sizes (its cotangent scatter would need a second halo exchange).
+# The BACKWARD has a matching halo variant (`_make_bwd_kernel_halo` below):
+# its cotangent scatter emits per-tile top/bottom halo-gradient outputs that
+# one XLA shift-and-add folds into the neighbouring bands, so 256² training
+# runs fully fused too.
 # ---------------------------------------------------------------------------
 
 
@@ -364,7 +378,7 @@ def _step_raw_halo(reverse, affine, hh, ww, b, zt, *weights):
     ch = c // 2
     cout = c if affine else ch
     hidden = weights[3].shape[0]
-    R = _halo_rows(hh, ww, c, hidden)
+    R = _halo_rows(hh, ww, c, hidden, affine)
     assert R is not None, (hh, ww, c, hidden)
     T = hh // R
     G = b * T
@@ -418,9 +432,9 @@ def _step_raw(reverse, affine, hh, ww, b, zt, *weights):
     ch = c // 2
     cout = c if affine else ch
     hidden = weights[3].shape[0]  # w1T (hidden, 9*ch)
-    if hh * ww > _max_cols(c, hidden):
+    if hh * ww > _max_cols(c, hidden, affine):
         return _step_raw_halo(reverse, affine, hh, ww, b, zt, *weights)
-    tb = _tile_batch(b, hh, ww, c, hidden)
+    tb = _tile_batch(b, hh, ww, c, hidden, affine)
     n = tb * hh * ww
     kernel = _make_kernel(reverse, tb, hh, ww, c, hidden, affine)
 
@@ -548,8 +562,70 @@ def _bwd_max_cols(c: int, hidden: int) -> int:
     return min(MAX_TILE_COLS, budget // _bwd_bytes_per_col(c, hidden))
 
 
-def backward_supported(h: int, w: int, c: int, hidden: int) -> bool:
-    return h * w <= _bwd_max_cols(c, hidden)
+def _bwd_whole_image_ok(h: int, w: int, c: int, hidden: int,
+                        b: int | None = None) -> bool:
+    """Whole-image backward tiling feasible?  With `b` given, also verifies
+    a feasible tile exists: either a divisor of b whose tile is lane-aligned
+    (128 columns) and under the cap, or a single full tile covering the
+    whole array — `_bwd_tile_batch` falls back to tb=b when no aligned
+    divisor fits, and that full tile is only legal when it actually fits
+    VMEM (advisor round-2 item)."""
+    cap = _bwd_max_cols(c, hidden)
+    if h * w > cap:
+        return False
+    if b is None:
+        return True
+    hw = h * w
+    if b * hw <= cap:
+        return True  # single full tile always legal
+    return any(
+        b % d == 0 and (d * hw) % 128 == 0 and d * hw <= cap
+        for d in range(1, b + 1)
+    )
+
+
+def _bwd_halo_bytes_per_col(c: int, hidden: int, affine: bool) -> int:
+    """VMEM bytes per EXTENDED column for the halo backward: the whole-image
+    backward's scratches plus the halo-only ext/g_out-ext assembly scratches
+    and the extra prev/next z input blocks."""
+    ch = c // 2
+    cout = c if affine else ch
+    return (
+        2 * hidden * 4      # gh_a, gh_b (f32 gradient ping-pong)
+        + 2 * hidden * 2    # h1, h2 (bf16)
+        + 9 * ch * 2        # p1 (bf16)
+        + 9 * ch * 4        # g_p1 (f32 transient)
+        + 9 * cout * 2      # gy tap-packed conv3 cotangents (bf16)
+        + 2 * c * 4         # ext + g_out-ext assembly scratches (f32)
+        + 3 * c * 4         # u, v, acc transients
+        + 10 * c * 4        # z prev/cur/next + gzn in, gz/top/bot out,
+                            # double-buffered (counted per ext col: conservative)
+    )
+
+
+def _bwd_halo_rows(hh: int, ww: int, c: int, hidden: int,
+                   affine: bool) -> int | None:
+    """Rows-per-tile R for the halo-tiled BACKWARD (same tiling contract as
+    the forward's `_halo_rows`: R divides hh, R >= 4, lane-aligned center,
+    (R+4)-row extended region within the backward VMEM budget)."""
+    budget = _BWD_TOTAL_VMEM - _BWD_FIXED_VMEM
+    cap = min(MAX_TILE_COLS, budget // _bwd_halo_bytes_per_col(c, hidden, affine))
+    best = None
+    for r in range(4, hh):
+        if hh % r or (r * ww) % 128:
+            continue
+        if (r + 4) * ww <= cap:
+            best = r
+    return best
+
+
+def backward_supported(h: int, w: int, c: int, hidden: int,
+                       b: int | None = None, affine: bool = True) -> bool:
+    """True when SOME fused backward tiling exists: whole-image batch tiles,
+    or halo row-bands (256²-config levels whose image exceeds the budget)."""
+    if _bwd_whole_image_ok(h, w, c, hidden, b):
+        return True
+    return _bwd_halo_rows(h, w, c, hidden, affine) is not None
 
 
 def _bwd_tile_batch(b: int, h: int, w: int, c: int, hidden: int) -> int:
@@ -737,6 +813,281 @@ def _make_bwd_kernel(tb, hh, ww, c, hidden, affine):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# Halo-tiled BACKWARD (levels whose whole image exceeds the backward VMEM
+# budget — the 128²/64²/32² levels of 256² configs).  Mirrors the forward's
+# prev/cur/next BlockSpec trick: each tile recomputes the forward on its
+# (R+4)-row extended region and backpropagates ONLY its own center-band
+# output cotangents through it.  The resulting input gradient covers the
+# full extended region: the center slice is written in place, and the
+# 2-row top/bottom halo contributions (this tile's outputs' gradient w.r.t.
+# its neighbours' rows) are emitted as separate per-tile outputs that one
+# cheap XLA shift-and-add folds into the neighbouring bands afterwards.
+# Absolute-row masks make foreign-image/out-of-image gradients exactly zero,
+# so the cross-boundary adds are no-ops there.  Weight gradients accumulate
+# across grid steps exactly like the whole-image backward — per-tile
+# contributions are the tile-local cotangent sums, and summing them over
+# the (sequential) grid reproduces the full-batch sums exactly.
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel_halo(R, T, hh, ww, c, hidden, affine):
+    ch = c // 2
+    cout = c if affine else ch
+    n = (R + 4) * ww  # extended compute region
+    nc = R * ww       # center band
+    pad = 2 * ww
+
+    def kernel(zc_ref, zp_ref, zx_ref, wt_ref, anb_ref, anl_ref, w1_ref,
+               a1b_ref, a1l_ref, w2_ref, a2b_ref, a2l_ref, w3_ref, b3_ref,
+               l3_ref, gzn_ref, gld_ref,
+               gz_ref, gtop_ref, gbot_ref,
+               gwt_ref, ganb_ref, ganl_ref, gw1_ref, ga1b_ref,
+               ga1l_ref, gw2_ref, ga2b_ref, ga2l_ref, gw3_ref, gb3_ref,
+               gl3_ref,
+               p1, h1, h2, gh_a, gh_b, gy, ext, goe):
+        i = pl.program_id(0)
+        row0 = (i % T) * R - 2
+        masks = _halo_masks(row0, ww, hh, n)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        center = jnp.logical_and(col >= pad, col < pad + nc).astype(jnp.float32)
+
+        # ---- assemble ext input and ext output-cotangent ------------------
+        # (cotangent is zero on halo columns: those outputs belong to — and
+        # are backpropagated by — the neighbouring tiles.)
+        ext[:, :pad] = zp_ref[:, (R - 2) * ww :]
+        ext[:, pad : pad + nc] = zc_ref[:]
+        ext[:, pad + nc :] = zx_ref[:, :pad]
+        goe[:, :pad] = jnp.zeros((c, pad), jnp.float32)
+        goe[:, pad : pad + nc] = gzn_ref[:]
+        goe[:, pad + nc :] = jnp.zeros((c, pad), jnp.float32)
+
+        # ---- recompute forward on the ext region (same math as fwd halo) --
+        z = ext[:]
+        u = (z + anb_ref[:, 0:1]) * jnp.exp(anl_ref[:, 0:1])      # actnorm
+        v = jnp.dot(wt_ref[:], u, preferred_element_type=jnp.float32,
+                    precision=HIGHEST)                            # mix
+        v1, v2 = v[:ch, :], v[ch:, :]
+        for k, (dy, dx) in enumerate(OFFSETS):
+            off = (dy - 1) * ww + (dx - 1)
+            tap = _roll_lanes(v1, -off)
+            p1[k * ch : (k + 1) * ch, :] = (tap * masks[k]).astype(COUPLING_DTYPE)
+        a = _dot_bf16(w1_ref[:], p1[:])
+        a = (a + a1b_ref[:, 0:1]) * jnp.exp(a1l_ref[:, 0:1])
+        h1[:] = jnp.maximum(a, 0.0).astype(COUPLING_DTYPE)
+        a = _dot_bf16(w2_ref[:], h1[:])
+        a = (a + a2b_ref[:, 0:1]) * jnp.exp(a2l_ref[:, 0:1])
+        h2[:] = jnp.maximum(a, 0.0).astype(COUPLING_DTYPE)
+        # conv3 recompute tap-separate (see _make_bwd_kernel: the packed
+        # variant regresses Mosaic's schedule in the large backward kernels).
+        acc = jnp.zeros((cout, n), jnp.float32)
+        for k, (dy, dx) in enumerate(OFFSETS):
+            off = (dy - 1) * ww + (dx - 1)
+            yk = _dot_bf16(w3_ref[k * cout : (k + 1) * cout, :], h2[:])
+            acc = acc + _roll_lanes(yk, -off) * masks[k]
+        e3l3 = jnp.exp(l3_ref[:, 0:1] * 3.0)
+        out = (acc + b3_ref[:, 0:1]) * e3l3
+
+        # ---- backward through shift/scale ---------------------------------
+        gzn = goe[:]
+        go1, go2 = gzn[:ch, :], gzn[ch:, :]
+        if affine:
+            shift, raw = out[:ch, :], out[ch:, :]
+            s = jax.nn.sigmoid(raw + 2.0)
+            # The logdet cotangent applies to CENTER columns only (the tile's
+            # logdet contribution in the forward sums center columns); all
+            # center columns of a tile share the image's scalar g_ld.
+            g_raw = (
+                go2 * (v2 + shift) * (s * (1.0 - s))
+                + gld_ref[0, 0] * center * (1.0 - s)
+            )
+            g_v2 = go2 * s
+            g_out = jnp.concatenate([g_v2, g_raw], axis=0)
+        else:
+            g_v2 = go2
+            g_out = go2
+
+        # ---- conv3 --------------------------------------------------------
+        g_acc = g_out * e3l3
+        gb3 = _rowsum(g_acc)
+        gl3 = 3.0 * _rowsum(g_out * out)
+        for k, (dy, dx) in enumerate(OFFSETS):
+            off = (dy - 1) * ww + (dx - 1)
+            gy[k * cout : (k + 1) * cout, :] = _roll_lanes(
+                g_acc * masks[k], off
+            ).astype(COUPLING_DTYPE)
+        gh_a[:] = jax.lax.dot_general(  # g_h2 = W3_packed^T @ g_y
+            w3_ref[:], gy[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # ---- conv2 --------------------------------------------------------
+        h2f = h2[:].astype(jnp.float32)
+        g_a2n = gh_a[:] * (h2f > 0.0)
+        g_a2 = g_a2n * jnp.exp(a2l_ref[:, 0:1])
+        ga2b = _rowsum(g_a2)
+        ga2l = _rowsum(g_a2n * h2f)
+        gh_b[:] = jax.lax.dot_general(  # g_h1 = w2^T @ g_a2
+            w2_ref[:], g_a2.astype(COUPLING_DTYPE),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # ---- conv1 --------------------------------------------------------
+        h1f = h1[:].astype(jnp.float32)
+        g_a1n = gh_b[:] * (h1f > 0.0)
+        g_a1 = g_a1n * jnp.exp(a1l_ref[:, 0:1])
+        ga1b = _rowsum(g_a1)
+        ga1l = _rowsum(g_a1n * h1f)
+        g_a1_bf = g_a1.astype(COUPLING_DTYPE)
+        g_p1 = jax.lax.dot_general(  # (9*ch, n) = w1^T @ g_a1
+            w1_ref[:], g_a1_bf,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g_v1 = go1
+        for k, (dy, dx) in enumerate(OFFSETS):
+            off = (dy - 1) * ww + (dx - 1)
+            g_v1 = g_v1 + _roll_lanes(
+                g_p1[k * ch : (k + 1) * ch, :] * masks[k], off
+            )
+
+        # ---- mix + actnorm -------------------------------------------------
+        g_v = jnp.concatenate([g_v1, g_v2], axis=0)
+        g_u = jax.lax.dot_general(  # W^T @ g_v
+            wt_ref[:], g_v,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+        gz_full = g_u * jnp.exp(anl_ref[:, 0:1])
+        # Center slice in place; halo contributions to the neighbouring
+        # bands as separate outputs (folded in by XLA afterwards).  The
+        # absolute-row masks already zeroed gradients at out-of-image rows,
+        # so a top band's gtop (and a bottom band's gbot) is exactly zero.
+        gz_ref[:] = gz_full[:, pad : pad + nc]
+        gtop_ref[:] = gz_full[:, :pad]
+        gbot_ref[:] = gz_full[:, pad + nc :]
+        ganb = _rowsum(gz_full)
+        ganl = _rowsum(g_u * u)
+
+        # ---- weight-grad tile contributions (accumulate over the grid) ----
+        h2bf, h1bf = h2[:], h1[:]
+        contribs = [
+            (gwt_ref, jax.lax.dot_general(  # g_W = g_v @ u^T
+                g_v, u, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HIGHEST)),
+            (ganb_ref, ganb),
+            (ganl_ref, ganl),
+            (gw1_ref, jax.lax.dot_general(  # (hidden, 9ch) = g_a1 @ p1^T
+                g_a1_bf, p1[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)),
+            (ga1b_ref, ga1b),
+            (ga1l_ref, ga1l),
+            (gw2_ref, jax.lax.dot_general(  # (hidden, hidden) = g_a2 @ h1^T
+                g_a2.astype(COUPLING_DTYPE), h1bf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)),
+            (ga2b_ref, ga2b),
+            (ga2l_ref, ga2l),
+            (gb3_ref, gb3),
+            (gl3_ref, gl3),
+            (gw3_ref, jax.lax.dot_general(  # (9*cout, hidden)
+                gy[:], h2bf, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)),
+        ]
+
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            for ref, val in contribs:
+                ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            for ref, val in contribs:
+                ref[:] = ref[:] + val
+
+    return kernel
+
+
+def _bwd_raw_halo(affine, hh, ww, b, zt, *rest):
+    weights, gzn, gld = rest[:_N_WEIGHTS], rest[_N_WEIGHTS], rest[_N_WEIGHTS + 1]
+    c, total = zt.shape
+    ch = c // 2
+    cout = c if affine else ch
+    hidden = weights[3].shape[0]
+    R = _bwd_halo_rows(hh, ww, c, hidden, affine)
+    assert R is not None, (hh, ww, c, hidden)
+    T = hh // R
+    G = b * T
+    nc = R * ww
+    n_ext = (R + 4) * ww
+    pad = 2 * ww
+    kernel = _make_bwd_kernel_halo(R, T, hh, ww, c, hidden, affine)
+
+    rep = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    zcur = pl.BlockSpec((c, nc), lambda i: (0, i), memory_space=pltpu.VMEM)
+    zprev = pl.BlockSpec(
+        (c, nc), lambda i: (0, jnp.maximum(i - 1, 0)), memory_space=pltpu.VMEM
+    )
+    znext = pl.BlockSpec(
+        (c, nc), lambda i: (0, jnp.minimum(i + 1, G - 1)),
+        memory_space=pltpu.VMEM,
+    )
+    gldspec = pl.BlockSpec((1, nc), lambda i: (0, i), memory_space=pltpu.VMEM)
+    halospec = pl.BlockSpec((c, pad), lambda i: (0, i), memory_space=pltpu.VMEM)
+    grad_shapes = [
+        (c, c), (c, 1), (c, 1), (hidden, 9 * ch), (hidden, 1), (hidden, 1),
+        (hidden, hidden), (hidden, 1), (hidden, 1), (9 * cout, hidden),
+        (cout, 1), (cout, 1),
+    ]
+    flops_net = 2 * total * hidden * (9 * ch + hidden + 9 * cout)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[zcur, zprev, znext] + [rep(w.shape) for w in weights]
+        + [zcur, gldspec],
+        out_specs=[zcur, halospec, halospec] + [rep(s) for s in grad_shapes],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, total), jnp.float32),
+            jax.ShapeDtypeStruct((c, G * pad), jnp.float32),
+            jax.ShapeDtypeStruct((c, G * pad), jnp.float32),
+        ]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes],
+        scratch_shapes=[
+            pltpu.VMEM((9 * ch, n_ext), COUPLING_DTYPE),    # p1
+            pltpu.VMEM((hidden, n_ext), COUPLING_DTYPE),    # h1
+            pltpu.VMEM((hidden, n_ext), COUPLING_DTYPE),    # h2
+            pltpu.VMEM((hidden, n_ext), jnp.float32),       # gh_a
+            pltpu.VMEM((hidden, n_ext), jnp.float32),       # gh_b
+            pltpu.VMEM((9 * cout, n_ext), COUPLING_DTYPE),  # gy
+            pltpu.VMEM((c, n_ext), jnp.float32),            # ext input
+            pltpu.VMEM((c, n_ext), jnp.float32),            # g_out ext
+        ],
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * flops_net + 12 * total * c * c,
+            bytes_accessed=5 * 4 * total * c,
+            transcendentals=2 * total * ch,
+        ),
+    )(zt, zt, zt, *weights, gzn, gld)
+    gz, gtop, gbot = outs[0], outs[1], outs[2]
+    # Fold each tile's halo contributions into the neighbouring bands:
+    # tile i's TOP halo is the gradient w.r.t. the last 2 rows of band i-1,
+    # its BOTTOM halo w.r.t. the first 2 rows of band i+1.  Cross-image
+    # pairs add exact zeros (masked in-kernel).
+    gz3 = gz.reshape(c, G, nc)
+    gt3 = gtop.reshape(c, G, pad)
+    gb3 = gbot.reshape(c, G, pad)
+    gz3 = gz3.at[:, :-1, nc - pad :].add(gt3[:, 1:])
+    gz3 = gz3.at[:, 1:, :pad].add(gb3[:, :-1])
+    return (gz3.reshape(c, total),) + tuple(outs[3:])
+
+
 def _bwd_raw(affine, hh, ww, b, zt, *rest):
     """(zt, *12 weights, g_zn, g_ldcol) -> (g_zt, *12 weight grads, f32)."""
     weights, gzn, gld = rest[:_N_WEIGHTS], rest[_N_WEIGHTS], rest[_N_WEIGHTS + 1]
@@ -744,6 +1095,8 @@ def _bwd_raw(affine, hh, ww, b, zt, *rest):
     ch = c // 2
     cout = c if affine else ch
     hidden = weights[3].shape[0]
+    if not _bwd_whole_image_ok(hh, ww, c, hidden, b):
+        return _bwd_raw_halo(affine, hh, ww, b, zt, *rest)
     tb = _bwd_tile_batch(b, hh, ww, c, hidden)
     n = tb * hh * ww
     kernel = _make_bwd_kernel(tb, hh, ww, c, hidden, affine)

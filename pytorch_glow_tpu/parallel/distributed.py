@@ -49,12 +49,3 @@ def maybe_initialize() -> bool:
     except Exception as e:  # mis-set env on a single host: continue local
         print(f"[distributed] initialize() skipped: {type(e).__name__}: {e}")
         return False
-
-
-def process_batch_slice(global_batch: int) -> tuple[int, int]:
-    """(per-process batch, process index) for host-sharded data loading."""
-    import jax
-
-    n = jax.process_count()
-    assert global_batch % n == 0, (global_batch, n)
-    return global_batch // n, jax.process_index()

@@ -115,6 +115,7 @@ def build(
     ):
         serve_g = _dc.replace(g, flowstep_impl="pallas")
     eval_step = steplib.make_eval_step(serve_g)
+    eval_step_n = steplib.make_eval_step_n(serve_g)
     sample_fn = steplib.make_sample_fn(serve_g, t.num_sample_images, t.sample_temperature)
     reconstruct_fn = steplib.make_reconstruct_fn(serve_g)
 
@@ -190,7 +191,8 @@ def build(
         reconstruct_fn=reconstruct_fn,
         data=data,
         ckpt=ckpt,
-        extras={"eval_data": eval_data, "data_resume": data_resume},
+        extras={"eval_data": eval_data, "data_resume": data_resume,
+                "eval_step_n": eval_step_n},
         start_step=start_step,
         resumed=resumed,
     )

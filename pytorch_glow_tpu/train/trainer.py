@@ -143,13 +143,20 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
 
                     eval_params = steplib.ema_params(state)
                     eval_batches = list(itertools.islice(eval_it, t.eval_batches))
-                    nlls = [
-                        float(built.eval_step(eval_params, b["image"],
-                                              _labels_to_onehot(b, p))["nll"])
-                        for b in eval_batches
-                    ]
-                    if nlls:
-                        ev = {"eval_nll": float(np.mean(nlls))}
+                    if eval_batches:
+                        # All eval batches in ONE jitted dispatch (tunneled
+                        # TPUs pay 20-200 ms latency per dispatch).
+                        images = jax.numpy.stack(
+                            [b["image"] for b in eval_batches]
+                        )
+                        ys = [_labels_to_onehot(b, p) for b in eval_batches]
+                        y_stack = None if ys[0] is None else jax.numpy.stack(ys)
+                        nll = float(
+                            built.extras["eval_step_n"](
+                                eval_params, images, y_stack
+                            )["nll"]
+                        )
+                        ev = {"eval_nll": nll}
                         # Round-trip drift guard: decode(encode(x)) must stay
                         # within one uint8 quantization bin (north-star
                         # exactness, checked continuously in production).

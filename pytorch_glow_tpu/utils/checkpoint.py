@@ -58,7 +58,21 @@ class CheckpointManager:
         e.g. eval bits/dim) improves on the stored best.  Returns True when
         a new best was written."""
         prev = self.best_info()
-        if prev is not None and float(metric) >= float(prev["metric"]):
+        should = prev is None or float(metric) < float(prev["metric"])
+        if jax.process_count() > 1:
+            # The save/skip decision must be COLLECTIVE: only process 0
+            # writes best.json, so without a shared filesystem other
+            # processes would always see prev=None and enter the orbax save
+            # barrier while process 0 skips — deadlock.  Broadcast process
+            # 0's decision instead of trusting each process's local sidecar.
+            from jax.experimental import multihost_utils
+
+            should = bool(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(1 if should else 0, np.int32)
+                )
+            )
+        if not should:
             return False
         mgr = self._get_best_mgr()
         mgr.save(step, args=ocp.args.StandardSave(_to_savable(state)))

@@ -47,6 +47,11 @@ def test_step_forward_matches_xla(mode, c, h, w):
     zr, lr = _fused_ref_forward(sp, z, kind, mode)
     np.testing.assert_allclose(np.asarray(zn), np.asarray(zr), atol=5e-2, rtol=5e-2)
     np.testing.assert_allclose(np.asarray(ld), np.asarray(lr), atol=2e-1, rtol=2e-2)
+    # Statistical bound on top of the loose bf16 elementwise tolerance: the
+    # MEAN error of kernel-vs-XLA must stay at bf16-rounding scale; a silent
+    # half-precision regression (e.g. a lost f32 accumulation) passes the
+    # 5e-2 elementwise bound but not this one.
+    assert float(np.abs(np.asarray(zn) - np.asarray(zr)).mean()) < 2e-3
 
 
 @pytest.mark.parametrize("kind_cfg", [
@@ -141,6 +146,11 @@ def test_halo_tiled_forward_matches_xla(force_halo, mode):
     zr, lr = _fused_ref_forward(sp, z, kind, mode)
     np.testing.assert_allclose(np.asarray(zn), np.asarray(zr), atol=5e-2, rtol=5e-2)
     np.testing.assert_allclose(np.asarray(ld), np.asarray(lr), atol=2e-1, rtol=2e-2)
+    # Statistical bound on top of the loose bf16 elementwise tolerance: the
+    # MEAN error of kernel-vs-XLA must stay at bf16-rounding scale; a silent
+    # half-precision regression (e.g. a lost f32 accumulation) passes the
+    # 5e-2 elementwise bound but not this one.
+    assert float(np.abs(np.asarray(zn) - np.asarray(zr)).mean()) < 2e-3
 
 
 def test_halo_tiled_roundtrip_exact(force_halo):
@@ -206,6 +216,71 @@ def test_fused_backward_kernel_exact_at_f32(monkeypatch, mode, kind_cfg):
         gz = jax.random.normal(jax.random.key(3), zt.shape)
         gl = jax.random.normal(jax.random.key(4), (b,))
         assert fsp.backward_supported(h, w, c, cfg.hidden_channels)
+
+        def ref_f32_t(sp, zt):
+            z = fsp.from_t(zt, (b, h, w, c))
+            z, _, _ = L.actnorm_forward(sp["actnorm"], z, None)
+            z, _ = L.permutation_forward(sp["perm"], z, None, kind, "xla", "highest")
+            z, ld, _ = L.coupling_forward(
+                sp["coupling"], z, jnp.zeros((b,), jnp.float32), mode,
+                compute_dtype=jnp.float32,
+            )
+            return fsp.to_t(z), ld
+
+        def loss(fn):
+            def go(sp, zt):
+                zn, ld = fn(sp, zt)
+                return jnp.sum(zn * gz) + jnp.sum(ld * gl)
+            return go
+
+        fused = loss(lambda s, x: glow._fused_step_forward(s, x, kind, mode, (h, w), b))
+        ref = loss(ref_f32_t)
+        gf = jax.grad(fused, argnums=(0, 1), allow_int=True)(sp, zt)
+        gr = jax.grad(ref, argnums=(0, 1), allow_int=True)(sp, zt)
+        refs = dict(jax.tree_util.tree_leaves_with_path(gr))
+        checked = 0
+        for path, leaf in jax.tree_util.tree_leaves_with_path(gf):
+            if leaf.dtype == jax.dtypes.float0:
+                continue
+            scale = max(1e-3, float(np.max(np.abs(np.asarray(refs[path])))))
+            np.testing.assert_allclose(
+                np.asarray(leaf, np.float32), np.asarray(refs[path], np.float32),
+                atol=3e-5 * scale, err_msg=jax.tree_util.keystr(path),
+            )
+            checked += 1
+        assert checked >= 10
+    finally:
+        fsp._partitioned.cache_clear()
+        fsp._partitioned_bwd.cache_clear()
+
+
+@pytest.mark.parametrize("mode", ["affine", "additive"])
+def test_fused_backward_halo_exact_at_f32(monkeypatch, mode):
+    """PROOF of the HALO backward kernel (256²-training path): with the
+    coupling compute dtype forced to f32 and the whole-image tile cap shrunk
+    so a 32×32 image takes the halo row-band path in BOTH directions, the
+    fused gradients — including the top/bottom halo-gradient fold and the
+    grid-accumulated weight grads — must match jax autodiff of the same
+    math to float roundoff."""
+    monkeypatch.setattr(fsp, "COUPLING_DTYPE", jnp.float32)
+    monkeypatch.setattr(fsp, "MAX_TILE_COLS", 512)
+    fsp._partitioned.cache_clear()
+    fsp._partitioned_bwd.cache_clear()
+    try:
+        cfg = dataclasses.replace(CFG, flow_coupling=mode, hidden_channels=32)
+        c, h, w, b = 12, 32, 32, 3
+        affine = mode == "affine"
+        # Halo engaged in both directions at this shape.
+        assert h * w > fsp._max_cols(c, cfg.hidden_channels, affine)
+        assert not fsp._bwd_whole_image_ok(h, w, c, cfg.hidden_channels, b)
+        assert fsp._bwd_halo_rows(h, w, c, cfg.hidden_channels, affine) is not None
+        assert fsp.backward_supported(h, w, c, cfg.hidden_channels, b, affine)
+
+        sp = _noisy_step_params(c, cfg)
+        kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
+        zt = fsp.to_t(jax.random.normal(jax.random.key(2), (b, h, w, c)))
+        gz = jax.random.normal(jax.random.key(3), zt.shape)
+        gl = jax.random.normal(jax.random.key(4), (b,))
 
         def ref_f32_t(sp, zt):
             z = fsp.from_t(zt, (b, h, w, c))
