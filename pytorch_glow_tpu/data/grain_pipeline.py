@@ -134,7 +134,7 @@ def _make_source(
             )
         except (FileNotFoundError, NotADirectoryError):
             return None
-    elif data_cfg.name in ("synthetic", "synthetic_smooth"):
+    elif data_cfg.name in ("synthetic", "synthetic_smooth", "synthetic_textured"):
         rng = np.random.default_rng(train_cfg.seed)
         h, w, c = glow_cfg.image_shape
         images = rng.integers(0, 256, (max(2048, train_cfg.batch_size * 4), h, w, c),
@@ -198,7 +198,7 @@ def make_grain_iterator(
     loader wrapped in the uniform checkpointable-iterator protocol, or None
     when grain/the source is unavailable.  Synthetic data never routes here
     (the indexed generator is already deterministic and O(1)-resumable)."""
-    if data_cfg.name in ("synthetic", "synthetic_smooth"):
+    if data_cfg.name in ("synthetic", "synthetic_smooth", "synthetic_textured"):
         return None
     loader = make_grain_loader(data_cfg, glow_cfg, train_cfg, split)
     return GrainIterator(loader) if loader is not None else None

@@ -837,6 +837,9 @@ def _make_bwd_kernel_halo(R, T, hh, ww, c, hidden, affine):
     n = (R + 4) * ww  # extended compute region
     nc = R * ww       # center band
     pad = 2 * ww
+    # Mosaic requires output block lane dims divisible by 128 (or equal to
+    # the whole array); pad the per-tile halo blocks up and zero the tail.
+    pb = -(-pad // 128) * 128
 
     def kernel(zc_ref, zp_ref, zx_ref, wt_ref, anb_ref, anl_ref, w1_ref,
                a1b_ref, a1l_ref, w2_ref, a2b_ref, a2l_ref, w3_ref, b3_ref,
@@ -966,8 +969,15 @@ def _make_bwd_kernel_halo(R, T, hh, ww, c, hidden, affine):
         # absolute-row masks already zeroed gradients at out-of-image rows,
         # so a top band's gtop (and a bottom band's gbot) is exactly zero.
         gz_ref[:] = gz_full[:, pad : pad + nc]
-        gtop_ref[:] = gz_full[:, :pad]
-        gbot_ref[:] = gz_full[:, pad + nc :]
+        if pb == pad:
+            gtop_ref[:] = gz_full[:, :pad]
+            gbot_ref[:] = gz_full[:, pad + nc :]
+        else:
+            zfill = jnp.zeros((c, pb - pad), jnp.float32)
+            gtop_ref[:] = jnp.concatenate([gz_full[:, :pad], zfill], axis=1)
+            gbot_ref[:] = jnp.concatenate(
+                [gz_full[:, pad + nc :], zfill], axis=1
+            )
         ganb = _rowsum(gz_full)
         ganl = _rowsum(g_u * u)
 
@@ -1025,6 +1035,7 @@ def _bwd_raw_halo(affine, hh, ww, b, zt, *rest):
     nc = R * ww
     n_ext = (R + 4) * ww
     pad = 2 * ww
+    pb = -(-pad // 128) * 128  # lane-aligned halo output blocks
     kernel = _make_bwd_kernel_halo(R, T, hh, ww, c, hidden, affine)
 
     rep = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -1039,7 +1050,7 @@ def _bwd_raw_halo(affine, hh, ww, b, zt, *rest):
         memory_space=pltpu.VMEM,
     )
     gldspec = pl.BlockSpec((1, nc), lambda i: (0, i), memory_space=pltpu.VMEM)
-    halospec = pl.BlockSpec((c, pad), lambda i: (0, i), memory_space=pltpu.VMEM)
+    halospec = pl.BlockSpec((c, pb), lambda i: (0, i), memory_space=pltpu.VMEM)
     grad_shapes = [
         (c, c), (c, 1), (c, 1), (hidden, 9 * ch), (hidden, 1), (hidden, 1),
         (hidden, hidden), (hidden, 1), (hidden, 1), (9 * cout, hidden),
@@ -1054,8 +1065,8 @@ def _bwd_raw_halo(affine, hh, ww, b, zt, *rest):
         out_specs=[zcur, halospec, halospec] + [rep(s) for s in grad_shapes],
         out_shape=[
             jax.ShapeDtypeStruct((c, total), jnp.float32),
-            jax.ShapeDtypeStruct((c, G * pad), jnp.float32),
-            jax.ShapeDtypeStruct((c, G * pad), jnp.float32),
+            jax.ShapeDtypeStruct((c, G * pb), jnp.float32),
+            jax.ShapeDtypeStruct((c, G * pb), jnp.float32),
         ]
         + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes],
         scratch_shapes=[
@@ -1081,8 +1092,8 @@ def _bwd_raw_halo(affine, hh, ww, b, zt, *rest):
     # its BOTTOM halo w.r.t. the first 2 rows of band i+1.  Cross-image
     # pairs add exact zeros (masked in-kernel).
     gz3 = gz.reshape(c, G, nc)
-    gt3 = gtop.reshape(c, G, pad)
-    gb3 = gbot.reshape(c, G, pad)
+    gt3 = gtop.reshape(c, G, pb)[:, :, :pad]
+    gb3 = gbot.reshape(c, G, pb)[:, :, :pad]
     gz3 = gz3.at[:, :-1, nc - pad :].add(gt3[:, 1:])
     gz3 = gz3.at[:, 1:, :pad].add(gb3[:, :-1])
     return (gz3.reshape(c, total),) + tuple(outs[3:])

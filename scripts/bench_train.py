@@ -33,7 +33,7 @@ def run(prof, impl: str, spc: int, remat: bool | None = None) -> dict:
         prof.glow, flowstep_impl=impl,
         remat=prof.glow.remat if remat is None else remat,
     )
-    b = prof.train.batch_size
+    b = int(os.environ.get("AB_BATCH", prof.train.batch_size))
     h, w, c = cfg.image_shape
     tx = make_optimizer(prof.optim, prof.train)
     state = steplib.init_state(jax.random.key(0), cfg, tx)
@@ -92,7 +92,8 @@ def main() -> None:
     # hbm); give it remat so the comparison is feasible-vs-feasible.
     xla_remat = os.environ.get("AB_XLA_REMAT", "1" if preset == "celeba64" else "0")
     prof = PRESETS[preset]
-    print(f"# train-step A/B: {preset} b={prof.train.batch_size} spc={spc} "
+    b = int(os.environ.get("AB_BATCH", prof.train.batch_size))
+    print(f"# train-step A/B: {preset} b={b} spc={spc} "
           f"on {jax.devices()[0].device_kind}", flush=True)
     pallas_remat = os.environ.get("AB_PALLAS_REMAT")  # unset = preset value
     for impl in impls:
