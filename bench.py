@@ -94,15 +94,38 @@ def main() -> None:
     setup_s = time.time() - t_setup
 
     # Steady state (one host dispatch per ITERS chained device steps).
-    t0 = time.perf_counter()
-    nll = fwd_loop(params, x_u8, rng)
-    nll.block_until_ready()
-    t_fwd = (time.perf_counter() - t0) / iters
-    t0 = time.perf_counter()
-    sample_loop(params, rng).block_until_ready()
-    t_smp = (time.perf_counter() - t0) / iters
+    # REPS repeats expose the tunnel's cross-process draw variance; the
+    # headline value is the MEDIAN rep (not a lucky draw), the full band is
+    # in "detail" (round-2 verdict: report efficiency, not draw luck).
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t_fwds, t_smps = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        nll = fwd_loop(params, x_u8, rng)
+        nll.block_until_ready()
+        t_fwds.append((time.perf_counter() - t0) / iters)
+        t0 = time.perf_counter()
+        sample_loop(params, rng).block_until_ready()
+        t_smps.append((time.perf_counter() - t0) / iters)
+    t_fwd = sorted(t_fwds)[reps // 2]
+    t_smp = sorted(t_smps)[reps // 2]
 
     value = batch / (t_fwd + t_smp)
+
+    # MFU: analytic conv/matmul FLOPs vs the chip's bf16 peak.  The reverse
+    # (sampling) flow runs the same coupling/invconv matmul work as the
+    # forward, so each direction uses the same per-image FLOP count.
+    from pytorch_glow_tpu.utils.summary import forward_flops_per_image
+
+    PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
+    kind = jax.devices()[0].device_kind
+    flops_img = forward_flops_per_image(cfg)
+    peak = PEAK_BF16.get(kind)
+    mfu = fwd_mfu = smp_mfu = None
+    if peak:
+        fwd_mfu = flops_img * (batch / t_fwd) / peak
+        smp_mfu = flops_img * (batch / t_smp) / peak
+        mfu = flops_img * 2 * value / peak  # combined: 2 passes per "image"
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline_torch.json"
@@ -123,9 +146,18 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+        "mfu": round(mfu, 3) if mfu is not None else None,
         "detail": {
             "fwd_images_per_sec": round(batch / t_fwd, 2),
             "sample_images_per_sec": round(batch / t_smp, 2),
+            "fwd_mfu": round(fwd_mfu, 3) if fwd_mfu is not None else None,
+            "sample_mfu": round(smp_mfu, 3) if smp_mfu is not None else None,
+            "flops_per_image_g": round(flops_img / 1e9, 1),
+            "bf16_peak_tflops": peak / 1e12 if peak else None,
+            "reps_combined_images_per_sec": [
+                round(batch / (tf + ts), 1) for tf, ts in zip(t_fwds, t_smps)
+            ],
+            "rep_policy": "median of reps (cross-process draws vary ~20%)",
             "nll_bits_per_dim_fresh_init": round(float(nll), 3),
             "setup_compile_s": round(setup_s, 1),
             "iters_chained_in_jit": iters,

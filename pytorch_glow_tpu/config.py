@@ -251,11 +251,20 @@ PRESETS: dict[str, Profile] = {
             n_bits_x=5,
             compute_dtype="bfloat16",
             invconv_precision="high",
+            # Fully-fused training via the halo fwd+bwd kernels (round 3):
+            # in-process A/B on v5e b8 measured 36.8 vs 23.1 img/s for the
+            # XLA+remat path (+59%); the infeasible deep levels (4²·c384)
+            # fall back to the XLA vjp automatically.
+            flowstep_impl="pallas",
             remat=True,
             shard_spatial=True,  # H over "model" when mesh.model > 1
         ),
+        # steps_per_call=1: chaining the halo kernels in a fori_loop sends
+        # the remote Mosaic compile >10 min (docs/BENCHMARKING.md); at
+        # ~220 ms/step, async dispatch keeps the chip fed from one step per
+        # call anyway.
         train=TrainConfig(batch_size=64, sample_temperature=0.7,
-                          steps_per_call=5, eval_gap=2000),
+                          steps_per_call=1, eval_gap=2000),
         optim=OptimConfig(schedule="noam"),  # survivable default (see cifar10)
         data=DataConfig(name="celebahq", image_size=256),
         mesh=MeshConfig(data=-1, model=1),

@@ -545,9 +545,6 @@ def _bwd_bytes_per_col(c: int, hidden: int) -> int:
     )
 
 
-# Weight-gradient accumulators + weights resident across the whole grid:
-# gw2 (h,h,f32) + w2 (h,h,bf16) + gw1/gw3 + smalls ~ 2.2 MB at hidden=512.
-_BWD_FIXED_VMEM = 3 * 2**20
 # The backward runs one phase at a time, so its live set is closer to the
 # byte/column model than the forward's (fewer concurrent transients); budget
 # most of the 16 MB.  The flagship level-0 tile (one 32x32 image, 1024
@@ -557,20 +554,41 @@ _BWD_FIXED_VMEM = 3 * 2**20
 _BWD_TOTAL_VMEM = 13 * 2**20
 
 
-def _bwd_max_cols(c: int, hidden: int) -> int:
-    budget = _BWD_TOTAL_VMEM - _BWD_FIXED_VMEM
+def _bwd_fixed_bytes(c: int, hidden: int, affine: bool = True) -> int:
+    """VMEM resident across the whole backward grid: the bf16 weights + the
+    f32 weight-grad accumulator blocks (constant-index outputs) + the f32
+    mix matrix and its grad.  SHAPE-DEPENDENT: at the deep 256²-config
+    levels (c=384: w3 is (3456, 512)) this alone exceeds the 16 MB scoped
+    limit — measured as a Mosaic stack OOM on v5e — so feasibility must
+    price it per config, not as a flat constant."""
+    ch = c // 2
+    cout = c if affine else ch
+    w1 = hidden * 9 * ch
+    w2 = hidden * hidden
+    w3 = 9 * cout * hidden
+    return (
+        (w1 + w2 + w3) * (2 + 4)   # bf16 weights + f32 grad accumulators
+        + 2 * c * c * 4            # mix matrix + its f32 grad
+        + 24 * max(c, hidden) * 4  # column vectors (biases/logs + grads)
+    )
+
+
+def _bwd_max_cols(c: int, hidden: int, affine: bool = True) -> int:
+    budget = _BWD_TOTAL_VMEM - _bwd_fixed_bytes(c, hidden, affine)
+    if budget <= 0:
+        return 0
     return min(MAX_TILE_COLS, budget // _bwd_bytes_per_col(c, hidden))
 
 
 def _bwd_whole_image_ok(h: int, w: int, c: int, hidden: int,
-                        b: int | None = None) -> bool:
+                        b: int | None = None, affine: bool = True) -> bool:
     """Whole-image backward tiling feasible?  With `b` given, also verifies
     a feasible tile exists: either a divisor of b whose tile is lane-aligned
     (128 columns) and under the cap, or a single full tile covering the
     whole array — `_bwd_tile_batch` falls back to tb=b when no aligned
     divisor fits, and that full tile is only legal when it actually fits
     VMEM (advisor round-2 item)."""
-    cap = _bwd_max_cols(c, hidden)
+    cap = _bwd_max_cols(c, hidden, affine)
     if h * w > cap:
         return False
     if b is None:
@@ -608,7 +626,9 @@ def _bwd_halo_rows(hh: int, ww: int, c: int, hidden: int,
     """Rows-per-tile R for the halo-tiled BACKWARD (same tiling contract as
     the forward's `_halo_rows`: R divides hh, R >= 4, lane-aligned center,
     (R+4)-row extended region within the backward VMEM budget)."""
-    budget = _BWD_TOTAL_VMEM - _BWD_FIXED_VMEM
+    budget = _BWD_TOTAL_VMEM - _bwd_fixed_bytes(c, hidden, affine)
+    if budget <= 0:
+        return None
     cap = min(MAX_TILE_COLS, budget // _bwd_halo_bytes_per_col(c, hidden, affine))
     best = None
     for r in range(4, hh):
@@ -623,14 +643,15 @@ def backward_supported(h: int, w: int, c: int, hidden: int,
                        b: int | None = None, affine: bool = True) -> bool:
     """True when SOME fused backward tiling exists: whole-image batch tiles,
     or halo row-bands (256²-config levels whose image exceeds the budget)."""
-    if _bwd_whole_image_ok(h, w, c, hidden, b):
+    if _bwd_whole_image_ok(h, w, c, hidden, b, affine):
         return True
     return _bwd_halo_rows(h, w, c, hidden, affine) is not None
 
 
-def _bwd_tile_batch(b: int, h: int, w: int, c: int, hidden: int) -> int:
+def _bwd_tile_batch(b: int, h: int, w: int, c: int, hidden: int,
+                    affine: bool = True) -> int:
     hw = h * w
-    cap = _bwd_max_cols(c, hidden)
+    cap = _bwd_max_cols(c, hidden, affine)
     best = None
     for d in range(1, b + 1):
         if b % d:
@@ -1106,9 +1127,9 @@ def _bwd_raw(affine, hh, ww, b, zt, *rest):
     ch = c // 2
     cout = c if affine else ch
     hidden = weights[3].shape[0]
-    if not _bwd_whole_image_ok(hh, ww, c, hidden, b):
+    if not _bwd_whole_image_ok(hh, ww, c, hidden, b, affine):
         return _bwd_raw_halo(affine, hh, ww, b, zt, *rest)
-    tb = _bwd_tile_batch(b, hh, ww, c, hidden)
+    tb = _bwd_tile_batch(b, hh, ww, c, hidden, affine)
     n = tb * hh * ww
     kernel = _make_bwd_kernel(tb, hh, ww, c, hidden, affine)
 

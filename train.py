@@ -27,7 +27,11 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=None, help="override Train.num_steps")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--out-dir", default=None, help="override output directory")
-    p.add_argument("--synthetic", action="store_true", help="force synthetic data")
+    p.add_argument("--synthetic", nargs="?", const="uniform", default=None,
+                   choices=["uniform", "smooth", "textured"],
+                   help="force synthetic data (optionally pick the family: "
+                        "uniform noise, smooth gradients, or multi-scale "
+                        "textures + shapes)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--retries", type=int, default=0,
@@ -62,7 +66,11 @@ def resolve_profile(args):
     if args.data_root is not None:
         data_over["root"] = args.data_root
     if args.synthetic:
-        data_over["name"] = "synthetic"
+        data_over["name"] = {
+            "uniform": "synthetic",
+            "smooth": "synthetic_smooth",
+            "textured": "synthetic_textured",
+        }[args.synthetic]
     if data_over:
         prof = prof.replace(data=dataclasses.replace(prof.data, **data_over))
     if args.out_dir is not None:
