@@ -350,6 +350,52 @@ def test_fused_backward_under_dp_mesh(eight_devices):
         )
 
 
+def test_halo_backward_under_dp_mesh(monkeypatch, eight_devices):
+    """Halo BACKWARD under an 8-device DP mesh == unsharded (the 256²
+    multi-chip training path): sharded single-step grads — including the
+    halo-gradient fold and psum'd weight grads — must match the local run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorch_glow_tpu.parallel import mesh as meshlib
+
+    monkeypatch.setattr(fsp, "MAX_TILE_COLS", 512)
+    fsp._partitioned.cache_clear()
+    fsp._partitioned_bwd.cache_clear()
+    try:
+        cfg = dataclasses.replace(CFG, hidden_channels=32)
+        c, h, w, b = 12, 32, 32, 8
+        assert not fsp._bwd_whole_image_ok(h, w, c, cfg.hidden_channels, b)
+        sp = _noisy_step_params(c, cfg)
+        kind = L.permutation_kind(cfg.flow_permutation, cfg.lu_decomposed)
+        zt = fsp.to_t(jax.random.normal(jax.random.key(2), (b, h, w, c)))
+        gz = jax.random.normal(jax.random.key(3), zt.shape)
+        gl = jax.random.normal(jax.random.key(4), (b,))
+
+        def loss(sp, zt):
+            zn, ld = glow._fused_step_forward(
+                sp, zt, kind, "affine", (h, w), b
+            )
+            return jnp.sum(zn * gz) + jnp.sum(ld * gl)
+
+        g_local = jax.jit(jax.grad(loss, argnums=(0, 1), allow_int=True))(sp, zt)
+        mesh = meshlib.make_mesh(MeshConfig(data=8, model=1))
+        zts = jax.device_put(zt, NamedSharding(mesh, P(None, "data")))
+        g_shard = jax.jit(jax.grad(loss, argnums=(0, 1), allow_int=True))(sp, zts)
+        refs = dict(jax.tree_util.tree_leaves_with_path(g_local))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g_shard):
+            if leaf.dtype == jax.dtypes.float0:
+                continue
+            scale = max(1e-3, float(np.max(np.abs(np.asarray(refs[path])))))
+            np.testing.assert_allclose(
+                np.asarray(leaf, np.float32),
+                np.asarray(refs[path], np.float32),
+                atol=1e-4 * scale, err_msg=jax.tree_util.keystr(path),
+            )
+    finally:
+        fsp._partitioned.cache_clear()
+        fsp._partitioned_bwd.cache_clear()
+
+
 def test_saturated_scale_gradients_finite():
     """When an affine-coupling scale saturates to 0 (sigmoid underflow),
     gradients must stay FINITE on both the fused-backward and XLA paths:
