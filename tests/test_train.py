@@ -86,13 +86,20 @@ def test_profile_unknown_key_raises():
 
 
 def test_profile_files_on_disk():
-    """Every shipped profiles/*.json must parse."""
+    """Every shipped profiles/*.json must parse AND stay in sync with the
+    in-code preset of the same name (regenerate with utils.profiles.
+    save_profile when presets change — round 3 caught silent drift)."""
+    from pytorch_glow_tpu.config import PRESETS
+
     root = os.path.join(os.path.dirname(__file__), "..", "profiles")
     files = [f for f in os.listdir(root) if f.endswith(".json")]
     assert files, "no profiles shipped"
     for f in files:
         prof = load_profile(os.path.join(root, f))
         assert prof.glow.K > 0
+        name = f[: -len(".json")]
+        assert name in PRESETS, f"profile {f} has no matching preset"
+        assert prof == PRESETS[name], f"profiles/{f} drifted from PRESETS"
 
 
 def test_resume_is_bitwise_deterministic(tmp_path):
