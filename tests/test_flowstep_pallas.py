@@ -396,6 +396,40 @@ def test_halo_backward_under_dp_mesh(monkeypatch, eight_devices):
         fsp._partitioned_bwd.cache_clear()
 
 
+def test_fused_with_spatial_sharding_mesh(eight_devices):
+    """celebahq256's production combination — shard_spatial (H over
+    "model") + fused Pallas flow steps + grads — must compile and run on a
+    (data=4, model=2) mesh.  The driver's dryrun uses the XLA path, so
+    this is the only guard for the fused+SP interaction."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorch_glow_tpu.parallel import mesh as meshlib
+    from pytorch_glow_tpu.utils.tree import merge, partition
+
+    mesh = meshlib.make_mesh(MeshConfig(data=4, model=2))
+    cfg = dataclasses.replace(
+        CFG, image_shape=(16, 16, 3), remat=True, shard_spatial=True
+    )
+    params = glow.init_glow(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (8, 16, 16, 3))
+    with jax.set_mesh(mesh):
+        params = glow.ddi_init(params, x, cfg)
+        trainable, frozen = partition(params)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+        def loss(tr, xx):
+            return jnp.mean(glow.log_prob(merge(tr, frozen), xx, cfg)["nll"])
+
+        g = jax.jit(jax.grad(loss))(trainable, xs)
+        val = float(jax.jit(loss)(trainable, xs))
+    assert np.isfinite(val)
+    assert all(
+        bool(np.isfinite(np.asarray(leaf, np.float32)).all())
+        for leaf in jax.tree.leaves(g)
+        if leaf.dtype != jax.dtypes.float0
+    )
+
+
 def test_saturated_scale_gradients_finite():
     """When an affine-coupling scale saturates to 0 (sigmoid underflow),
     gradients must stay FINITE on both the fused-backward and XLA paths:
