@@ -114,32 +114,48 @@ def _textured_images(rng, batch_size: int, h: int, w: int, c: int) -> np.ndarray
     learning).  Octaves of nearest-upsampled noise give scale-correlated
     texture; flat-colored rectangles/disks occlude it (sharp edges +
     long-range dependence); mild sensor noise keeps densities finite.
-    Fully vectorized over the batch — O(shapes * B*H*W) numpy, fast enough
-    to feed a TPU chip from one host core."""
-    img = np.broadcast_to(
-        rng.uniform(40, 215, (batch_size, 1, 1, c)).astype(np.float32),
-        (batch_size, h, w, c),
-    ).copy()
+    Fully vectorized over the batch in float32 end-to-end (float64 draws +
+    downcasts measured ~2x the whole generator's cost) — fast enough to
+    feed a TPU chip from one host core."""
+    f32 = np.float32
+
+    def unif(lo, hi, shape):
+        return rng.random(shape, dtype=f32) * f32(hi - lo) + f32(lo)
+
+    img = np.broadcast_to(unif(40, 215, (batch_size, 1, 1, c)), (batch_size, h, w, c)).copy()
     for k, amp in ((8, 55.0), (4, 30.0), (2, 15.0)):
         oh, ow = max(1, h // k), max(1, w // k)
-        octave = rng.normal(0, 1.0, (batch_size, oh, ow, c)).astype(np.float32)
-        octave = octave.repeat(-(-h // oh), axis=1)[:, :h]
-        octave = octave.repeat(-(-w // ow), axis=2)[:, :, :w]
-        img += amp * octave
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        octave = rng.standard_normal((batch_size, oh, ow, c), dtype=f32)
+        np.multiply(octave, f32(amp), out=octave)  # scale while still small
+        if h % oh == 0 and w % ow == 0:
+            # nearest-upsample as an in-place broadcast add (no repeat copies)
+            view = img.reshape(batch_size, oh, h // oh, ow, w // ow, c)
+            view += octave[:, :, None, :, None, :]
+        else:
+            octave = octave.repeat(-(-h // oh), axis=1)[:, :h]
+            octave = octave.repeat(-(-w // ow), axis=2)[:, :, :w]
+            img += octave
+    yy, xx = np.mgrid[0:h, 0:w].astype(f32)
     for _ in range(3):
-        cy = rng.uniform(0, h, (batch_size, 1, 1)).astype(np.float32)
-        cx = rng.uniform(0, w, (batch_size, 1, 1)).astype(np.float32)
-        ry = rng.uniform(h / 8, h / 3, (batch_size, 1, 1)).astype(np.float32)
-        rx = rng.uniform(w / 8, w / 3, (batch_size, 1, 1)).astype(np.float32)
-        color = rng.uniform(0, 255, (batch_size, 1, 1, c)).astype(np.float32)
+        cy = unif(0, h, (batch_size, 1, 1))
+        cx = unif(0, w, (batch_size, 1, 1))
+        ry = unif(h / 8, h / 3, (batch_size, 1, 1))
+        rx = unif(w / 8, w / 3, (batch_size, 1, 1))
+        color = unif(0, 255, (batch_size, 1, 1, c))
         is_disk = rng.random((batch_size, 1, 1)) < 0.5
-        dy, dx = (yy[None] - cy) / ry, (xx[None] - cx) / rx
-        disk = dy * dy + dx * dx < 1.0
-        rect = np.logical_and(np.abs(dy) < 0.8, np.abs(dx) < 0.8)
-        mask = np.where(is_disk, disk, rect)
-        img = np.where(mask[..., None], color, img)
-    img += rng.normal(0, 2.0, size=img.shape).astype(np.float32)
+        dy = yy[None] - cy
+        dy /= ry
+        dx = xx[None] - cx
+        dx /= rx
+        inside_rect = np.abs(dy) < 0.8
+        inside_rect &= np.abs(dx) < 0.8
+        dy *= dy
+        dx *= dx
+        dy += dx
+        inside_disk = dy < 1.0  # dy now holds (dy/ry)^2 + (dx/rx)^2
+        mask = np.where(is_disk, inside_disk, inside_rect)
+        np.copyto(img, np.broadcast_to(color, img.shape), where=mask[..., None])
+    img += f32(2.0) * rng.standard_normal(img.shape, dtype=f32)
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
