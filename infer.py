@@ -12,6 +12,12 @@ Usage:
                              --strength 1.5 --data-root ... -o manip.png
   python infer.py interpolate <profile> --data-root ... -o interp.png
   python infer.py nll       <profile> --data-root ...
+  python infer.py export    <profile> -o artifact_dir [--batch-size 16]
+  python infer.py serve     <artifact_dir> -o samples.png --temperature 0.7
+
+`export` writes a self-contained jax.export (StableHLO) serving artifact —
+trained params baked in; `serve` runs one WITHOUT model code or checkpoints
+(pytorch_glow_tpu/serve.py).
 """
 
 from __future__ import annotations
@@ -26,8 +32,18 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("op", choices=["sample", "recon", "delta", "manipulate", "interpolate", "nll"])
-    p.add_argument("profile")
+    p.add_argument("op", choices=["sample", "recon", "delta", "manipulate",
+                                  "interpolate", "nll", "export", "serve"])
+    p.add_argument("profile",
+                   help="profile JSON/preset (op=serve: the artifact directory)")
+    p.add_argument("--batch-size", type=int, default=16,
+                   help="fixed serving batch for op=export")
+    p.add_argument("--platforms", default=None,
+                   help="comma-separated lowering targets for op=export "
+                        "(e.g. 'tpu,cpu'); default: current backend")
+    p.add_argument("--keep-kernels", action="store_true",
+                   help="export the Pallas fused-kernel path (TPU-only "
+                        "artifact) instead of the portable XLA path")
     p.add_argument("-n", "--num", type=int, default=16)
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--data-root", default=None)
@@ -56,12 +72,24 @@ def main(argv=None):
     from pytorch_glow_tpu.train.builder import build
     from pytorch_glow_tpu.utils.image import save_image_grid
 
+    if args.op == "serve":
+        # The artifact is self-contained: no profile, checkpoint, or model
+        # code — `profile` here is the artifact directory.
+        from pytorch_glow_tpu.serve import load_artifact
+
+        model = load_artifact(args.profile)
+        imgs = model.sample(seed=args.seed, temperature=args.temperature)
+        save_image_grid(args.output, imgs)
+        print(f"wrote {args.output} ({model.batch_size} samples @ "
+              f"T={args.temperature} from artifact {args.profile})")
+        return
+
     ns = argparse.Namespace(
         profile=args.profile, data_root=args.data_root, steps=None, batch_size=None,
         out_dir=args.out_dir, synthetic=args.synthetic, seed=None, quiet=True,
     )
     prof = train_cli.resolve_profile(ns)
-    built = build(prof, training=False, with_data=args.op != "sample",
+    built = build(prof, training=False, with_data=args.op not in ("sample", "export"),
                   restore="best" if args.best else "latest")
     if not built.resumed:
         print("[infer] warning: no checkpoint found — using fresh (DDI-less) params",
@@ -75,6 +103,19 @@ def main(argv=None):
         else:
             print("[infer] warning: --ema requested but snapshot has no EMA state",
                   file=sys.stderr)
+    if args.op == "export":
+        from pytorch_glow_tpu.serve import export_artifact
+
+        platforms = tuple(args.platforms.split(",")) if args.platforms else None
+        man = export_artifact(params, prof.glow, args.output,
+                              batch_size=args.batch_size, platforms=platforms,
+                              keep_kernels=args.keep_kernels)
+        total = sum(f["bytes"] for f in man["functions"].values())
+        print(f"wrote artifact {args.output}: "
+              f"{sorted(man['functions'])} b={args.batch_size} "
+              f"platforms={man['platforms']} ({total / 1e6:.1f} MB)")
+        return
+
     inferer = Inferer(params, prof.glow)
     rng = jax.random.key(args.seed)
 

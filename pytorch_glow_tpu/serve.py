@@ -1,0 +1,255 @@
+"""AOT serving artifacts: compile once, serialize, run without model code.
+
+The reference's inference story stops at a Python object over live torch
+modules (upstream:network/inferer.py; SURVEY.md §2.1 #20) — every serving
+process must carry the model code, the checkpoint, and pay a fresh trace.
+The TPU-native shape is `jax.export`: trace + lower each serving entry
+point ONCE, bake the trained params into the StableHLO as constants, and
+serialize.  A serving host then needs only jax — no pytorch_glow_tpu
+model code, no checkpoint files, no re-trace — and XLA recompiles the
+portable StableHLO for whatever chips it has.
+
+Artifact layout (one directory):
+
+    manifest.json      — format version, shapes/dtypes per function, config
+    <name>.jaxexport   — serialized jax.export blob per entry point
+
+Entry points (all shapes static; batch is fixed at export time):
+
+    sample(seed u32[], temperature f32[])       -> uint8 images
+    sample_y(seed, temperature, labels i32[B])  -> uint8 images  (y-cond only)
+    encode(x u8[B,H,W,C])                       -> z_L f32
+    decode(z f32, seed, temperature)            -> uint8 images
+    reconstruct(x u8)                           -> uint8 images (exact z path)
+    nll(x u8)                                   -> f32[B] bits/dim
+    nll_y(x u8, labels i32[B])                  -> f32[B]        (y-cond only)
+
+By default the artifact is exported from the portable XLA flow-step path
+(`flowstep_impl="xla"`), so the same blob lowers on TPU and CPU; pass
+`keep_kernels=True` to export the Mosaic fused-kernel path for a
+TPU-only artifact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+FORMAT_VERSION = 1
+_MANIFEST = "manifest.json"
+
+
+# ---------------------------------------------------------------------------
+# Export
+# ---------------------------------------------------------------------------
+
+
+def _serving_fns(params, cfg, batch_size: int):
+    """name -> (pure fn over runtime args, example args).  `params` and
+    `cfg` are closed over: export bakes them into the artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_glow_tpu.models import glow
+
+    h, w, c = cfg.image_shape
+    x_spec = jnp.zeros((batch_size, h, w, c), jnp.uint8)
+    z_spec = jnp.zeros((batch_size, *cfg.final_latent_shape), jnp.float32)
+    seed_spec = jnp.zeros((), jnp.uint32)
+    temp_spec = jnp.ones((), jnp.float32)
+
+    def _onehot(labels):
+        return jax.nn.one_hot(labels, cfg.y_classes, dtype=jnp.float32)
+
+    def sample(seed, temperature):
+        imgs = glow.sample(params, jax.random.key(seed), cfg, n=batch_size,
+                           temperature=temperature)
+        return glow.postprocess(imgs, cfg)
+
+    def encode(x):
+        z, _, _, _ = glow.encode(params, glow.preprocess(x, cfg), cfg)
+        return z
+
+    def decode(z, seed, temperature):
+        imgs = glow.decode(params, z, cfg, rng=jax.random.key(seed),
+                           temperature=temperature)
+        return glow.postprocess(imgs, cfg)
+
+    def reconstruct(x):
+        imgs = glow.reconstruct(params, glow.preprocess(x, cfg), cfg)
+        return glow.postprocess(imgs, cfg)
+
+    def nll(x):
+        return glow.log_prob(params, glow.preprocess(x, cfg), cfg)["nll"]
+
+    fns = {
+        "sample": (sample, (seed_spec, temp_spec)),
+        "encode": (encode, (x_spec,)),
+        "decode": (decode, (z_spec, seed_spec, temp_spec)),
+        "reconstruct": (reconstruct, (x_spec,)),
+        "nll": (nll, (x_spec,)),
+    }
+
+    if cfg.y_condition:
+        labels_spec = jnp.zeros((batch_size,), jnp.int32)
+
+        def sample_y(seed, temperature, labels):
+            imgs = glow.sample(params, jax.random.key(seed), cfg, n=batch_size,
+                               temperature=temperature, y_onehot=_onehot(labels))
+            return glow.postprocess(imgs, cfg)
+
+        def nll_y(x, labels):
+            return glow.log_prob(params, glow.preprocess(x, cfg), cfg,
+                                 y_onehot=_onehot(labels))["nll"]
+
+        fns["sample_y"] = (sample_y, (seed_spec, temp_spec, labels_spec))
+        fns["nll_y"] = (nll_y, (x_spec, labels_spec))
+
+    return fns
+
+
+def export_artifact(
+    params,
+    cfg,
+    out_dir: str,
+    batch_size: int = 16,
+    functions: tuple[str, ...] | None = None,
+    platforms: tuple[str, ...] | None = None,
+    keep_kernels: bool = False,
+) -> dict:
+    """Export serving entry points for a trained model; returns the manifest.
+
+    platforms: lowering targets recorded in the blobs (e.g. ("tpu", "cpu"));
+    None = the current default backend only.  keep_kernels: export with the
+    config's Pallas fused kernels instead of forcing the portable XLA path.
+    """
+    import jax
+    from jax import export as jexport
+
+    if not keep_kernels and cfg.flowstep_impl != "xla":
+        cfg = dataclasses.replace(cfg, flowstep_impl="xla")
+
+    fns = _serving_fns(params, cfg, batch_size)
+    if functions is not None:
+        unknown = set(functions) - set(fns)
+        if unknown:
+            raise ValueError(f"unknown serving functions {sorted(unknown)}; "
+                             f"available: {sorted(fns)}")
+        fns = {k: fns[k] for k in functions}
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest: dict = {
+        "format_version": FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "batch_size": batch_size,
+        "image_shape": list(cfg.image_shape),
+        "final_latent_shape": list(cfg.final_latent_shape),
+        "y_condition": cfg.y_condition,
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "glow_config": dataclasses.asdict(cfg),
+        "functions": {},
+    }
+    for name, (fn, args) in fns.items():
+        exp = jexport.export(jax.jit(fn),
+                             platforms=list(platforms) if platforms else None)(*args)
+        blob = exp.serialize()
+        with open(os.path.join(out_dir, f"{name}.jaxexport"), "wb") as f:
+            f.write(blob)
+        manifest["functions"][name] = {
+            "args": [{"shape": list(a.shape), "dtype": str(a.dtype)} for a in args],
+            "bytes": len(blob),
+        }
+    manifest = json.loads(json.dumps(manifest))  # tuples -> lists, as loaded
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# Load / serve (model-code-free: needs only jax + this loader)
+# ---------------------------------------------------------------------------
+
+
+class ServedModel:
+    """Callable view over an exported artifact directory.
+
+    Deserialization and compilation are lazy and cached per entry point;
+    calls are jitted executions of the deserialized StableHLO (recompiled
+    by XLA for the local chips — no Python model code involved).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest["format_version"] > FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {self.manifest['format_version']} is newer "
+                f"than this loader ({FORMAT_VERSION})")
+        self.batch_size = self.manifest["batch_size"]
+        self._fns: dict = {}
+
+    @property
+    def functions(self) -> list[str]:
+        return sorted(self.manifest["functions"])
+
+    def fn(self, name: str):
+        """The compiled callable for one entry point."""
+        if name not in self._fns:
+            import jax
+            from jax import export as jexport
+
+            if name not in self.manifest["functions"]:
+                raise KeyError(f"artifact has no function '{name}' "
+                               f"(has: {self.functions})")
+            with open(os.path.join(self.path, f"{name}.jaxexport"), "rb") as f:
+                exp = jexport.deserialize(f.read())
+            self._fns[name] = jax.jit(exp.call)
+        return self._fns[name]
+
+    # -- convenience wrappers (numpy in/out) --------------------------------
+
+    def sample(self, seed: int = 0, temperature: float = 0.7,
+               labels=None) -> np.ndarray:
+        import jax.numpy as jnp
+
+        seed = jnp.uint32(seed)
+        temperature = jnp.float32(temperature)
+        if labels is not None:
+            out = self.fn("sample_y")(seed, temperature,
+                                      jnp.asarray(labels, jnp.int32))
+        else:
+            out = self.fn("sample")(seed, temperature)
+        return np.asarray(out)
+
+    def encode(self, images) -> np.ndarray:
+        import jax.numpy as jnp
+
+        return np.asarray(self.fn("encode")(jnp.asarray(images, jnp.uint8)))
+
+    def decode(self, z, seed: int = 0, temperature: float = 0.0) -> np.ndarray:
+        import jax.numpy as jnp
+
+        return np.asarray(self.fn("decode")(
+            jnp.asarray(z, jnp.float32), jnp.uint32(seed),
+            jnp.float32(temperature)))
+
+    def reconstruct(self, images) -> np.ndarray:
+        import jax.numpy as jnp
+
+        return np.asarray(self.fn("reconstruct")(jnp.asarray(images, jnp.uint8)))
+
+    def nll(self, images, labels=None) -> np.ndarray:
+        import jax.numpy as jnp
+
+        x = jnp.asarray(images, jnp.uint8)
+        if labels is not None:
+            return np.asarray(self.fn("nll_y")(x, jnp.asarray(labels, jnp.int32)))
+        return np.asarray(self.fn("nll")(x))
+
+
+def load_artifact(path: str) -> ServedModel:
+    return ServedModel(path)

@@ -104,6 +104,20 @@ def test_infer_nll(trained, capsys):
     assert "bits/dim" in capsys.readouterr().out
 
 
+def test_infer_export_then_serve(trained, tmp_path):
+    """export a trained checkpoint to a serving artifact, then serve from it
+    with no profile/checkpoint access."""
+    prof, out, root = trained
+    art = str(tmp_path / "artifact")
+    _run_infer(["export", prof, "--out-dir", out, "--batch-size", "4",
+                "-o", art])
+    assert os.path.isfile(os.path.join(art, "manifest.json"))
+
+    png = str(tmp_path / "served.png")
+    _run_infer(["serve", art, "--temperature", "0.5", "-o", png])
+    assert os.path.getsize(png) > 0
+
+
 def test_train_rejects_unknown_profile():
     with pytest.raises(SystemExit):
         train_cli.main(["definitely-not-a-preset", "--quiet"])
