@@ -119,15 +119,21 @@ def export_artifact(
     functions: tuple[str, ...] | None = None,
     platforms: tuple[str, ...] | None = None,
     keep_kernels: bool = False,
+    mesh=None,
 ) -> dict:
     """Export serving entry points for a trained model; returns the manifest.
 
     platforms: lowering targets recorded in the blobs (e.g. ("tpu", "cpu"));
     None = the current default backend only.  keep_kernels: export with the
     config's Pallas fused kernels instead of forcing the portable XLA path.
+    mesh: a jax.sharding.Mesh with a "data" axis — exports SPMD entry
+    points with the batch dimension sharded over it (pod serving); the
+    serving context must then have the same device count, and the loader
+    re-places inputs onto the recorded mesh.
     """
     import jax
     from jax import export as jexport
+    from jax.sharding import NamedSharding, PartitionSpec
 
     if not keep_kernels and cfg.flowstep_impl != "xla":
         cfg = dataclasses.replace(cfg, flowstep_impl="xla")
@@ -140,6 +146,17 @@ def export_artifact(
                              f"available: {sorted(fns)}")
         fns = {k: fns[k] for k in functions}
 
+    if mesh is not None:
+        if "data" not in mesh.axis_names:
+            raise ValueError(f"mesh {mesh.axis_names} has no 'data' axis")
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(f"batch_size {batch_size} must divide over "
+                             f"data axis of size {mesh.shape['data']}")
+
+    def _spec(arg):
+        # batch-carrying args/outputs shard over "data"; scalars replicate.
+        return PartitionSpec("data") if arg.ndim else PartitionSpec()
+
     os.makedirs(out_dir, exist_ok=True)
     manifest: dict = {
         "format_version": FORMAT_VERSION,
@@ -149,17 +166,32 @@ def export_artifact(
         "final_latent_shape": list(cfg.final_latent_shape),
         "y_condition": cfg.y_condition,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "mesh": None if mesh is None else {
+            "shape": [mesh.shape[a] for a in mesh.axis_names],
+            "axis_names": list(mesh.axis_names),
+        },
         "glow_config": dataclasses.asdict(cfg),
         "functions": {},
     }
     for name, (fn, args) in fns.items():
-        exp = jexport.export(jax.jit(fn),
+        if mesh is None:
+            jitted = jax.jit(fn)
+            arg_specs = None
+        else:
+            in_sh = tuple(NamedSharding(mesh, _spec(a)) for a in args)
+            out_sh = jax.tree.map(
+                lambda a: NamedSharding(mesh, _spec(a)),
+                jax.eval_shape(fn, *args))
+            jitted = jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
+            arg_specs = [list(_spec(a)) for a in args]
+        exp = jexport.export(jitted,
                              platforms=list(platforms) if platforms else None)(*args)
         blob = exp.serialize()
         with open(os.path.join(out_dir, f"{name}.jaxexport"), "wb") as f:
             f.write(blob)
         manifest["functions"][name] = {
             "args": [{"shape": list(a.shape), "dtype": str(a.dtype)} for a in args],
+            "arg_specs": arg_specs,
             "bytes": len(blob),
         }
     manifest = json.loads(json.dumps(manifest))  # tuples -> lists, as loaded
@@ -191,23 +223,59 @@ class ServedModel:
                 f"than this loader ({FORMAT_VERSION})")
         self.batch_size = self.manifest["batch_size"]
         self._fns: dict = {}
+        self._mesh = None
 
     @property
     def functions(self) -> list[str]:
         return sorted(self.manifest["functions"])
 
+    def _serving_mesh(self):
+        """Rebuild the export-time mesh topology over the local devices."""
+        if self._mesh is None:
+            import jax
+            from jax.sharding import Mesh
+
+            m = self.manifest["mesh"]
+            n = int(np.prod(m["shape"]))
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"artifact was exported for a {m['shape']} mesh "
+                    f"({n} devices); only {len(jax.devices())} available")
+            self._mesh = Mesh(
+                np.asarray(jax.devices()[:n]).reshape(m["shape"]),
+                tuple(m["axis_names"]))
+        return self._mesh
+
     def fn(self, name: str):
-        """The compiled callable for one entry point."""
+        """The compiled callable for one entry point.  For SPMD artifacts
+        (manifest "mesh" set) the callable re-places each argument onto the
+        recorded sharding over the local devices first."""
         if name not in self._fns:
             import jax
             from jax import export as jexport
 
-            if name not in self.manifest["functions"]:
+            meta = self.manifest["functions"].get(name)
+            if meta is None:
                 raise KeyError(f"artifact has no function '{name}' "
                                f"(has: {self.functions})")
             with open(os.path.join(self.path, f"{name}.jaxexport"), "rb") as f:
                 exp = jexport.deserialize(f.read())
-            self._fns[name] = jax.jit(exp.call)
+            call = jax.jit(exp.call)
+            if self.manifest.get("mesh") is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                mesh = self._serving_mesh()
+                shardings = tuple(
+                    NamedSharding(mesh, PartitionSpec(*spec))
+                    for spec in meta["arg_specs"])
+                inner = call
+
+                def call(*args, _inner=inner, _sh=shardings):
+                    placed = tuple(jax.device_put(a, s)
+                                   for a, s in zip(args, _sh))
+                    return _inner(*placed)
+
+            self._fns[name] = call
         return self._fns[name]
 
     # -- convenience wrappers (numpy in/out) --------------------------------

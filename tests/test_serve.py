@@ -134,6 +134,32 @@ def test_multi_platform_export_forces_portable_path(tiny, tmp_path):
     assert serve.load_artifact(out).sample(0, 0.7).shape == (2, 8, 8, 3)
 
 
+def test_sharded_export_serves_on_a_mesh(tiny, tmp_path):
+    """SPMD serving artifact: batch sharded over an 8-device 'data' mesh;
+    the loader rebuilds the mesh and re-places inputs itself."""
+    from jax.sharding import Mesh
+
+    params, cfg = tiny
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    out = str(tmp_path / "spmd")
+    man = serve.export_artifact(params, cfg, out, batch_size=16,
+                                functions=("sample", "nll"), mesh=mesh)
+    assert man["mesh"] == {"shape": [8], "axis_names": ["data"]}
+
+    m = serve.load_artifact(out)
+    x = np.random.default_rng(3).integers(0, 256, (16, 8, 8, 3), np.uint8)
+    nll = m.nll(x)
+    live = np.asarray(glow.log_prob(
+        params, glow.preprocess(jnp.asarray(x), cfg), cfg)["nll"])
+    np.testing.assert_allclose(nll, live, rtol=1e-5)
+    assert m.sample(seed=5, temperature=0.7).shape == (16, 8, 8, 3)
+
+    # batch must divide the data axis
+    with pytest.raises(ValueError, match="divide"):
+        serve.export_artifact(params, cfg, str(tmp_path / "bad"),
+                              batch_size=3, functions=("sample",), mesh=mesh)
+
+
 def test_newer_format_rejected(artifact, tmp_path):
     import shutil
 
