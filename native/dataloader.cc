@@ -16,6 +16,15 @@
 //     first error message in err).
 //   int gdl_image_dims(const char* path, int* w, int* h);  // peek dims
 //   const char* gdl_version();
+//
+// Async pool API (persistent workers; submit batch i+1 while batch i is
+// consumed — double-buffered decode without re-spawning threads):
+//   void* gdl_pool_create(int threads);
+//   int   gdl_pool_submit(pool, const char* const* paths, int n, int size,
+//                         unsigned char* out);   // -> job id; paths are
+//                         copied at submit, `out` must stay alive to wait
+//   int   gdl_pool_wait(pool, int job);          // -> failures; frees job
+//   void  gdl_pool_destroy(pool);                // joins workers
 
 #include <cstddef>
 #include <cstdio>
@@ -26,11 +35,16 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <csetjmp>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -172,11 +186,122 @@ void crop_resize(const Image& src, int size, unsigned char* out) {
   }
 }
 
+// ------------------------------------------------------- async decode pool
+
+struct Job {
+  std::vector<std::string> paths;
+  int size = 0;
+  unsigned char* out = nullptr;
+  std::atomic<int> next{0};       // next unclaimed image index
+  std::atomic<int> remaining{0};  // images not yet finished
+  std::atomic<int> failures{0};
+};
+
+void run_task(Job& job, int i) {
+  const size_t stride = size_t(job.size) * job.size * 3;
+  Image img;
+  if (decode_file(job.paths[i].c_str(), &img)) {
+    crop_resize(img, job.size, job.out + size_t(i) * stride);
+  } else {
+    std::memset(job.out + size_t(i) * stride, 0, stride);
+    job.failures.fetch_add(1);
+  }
+}
+
 }  // namespace
+
+struct gdl_pool {
+  std::mutex mu;
+  std::condition_variable cv_work;  // workers: a job has unclaimed tasks
+  std::condition_variable cv_done;  // waiters: some job finished
+  std::deque<std::shared_ptr<Job>> open;              // jobs with unclaimed tasks
+  std::unordered_map<int, std::shared_ptr<Job>> jobs;  // all unwaited jobs
+  std::vector<std::thread> workers;
+  int next_id = 0;
+  bool stop = false;
+
+  void worker() {
+    for (;;) {
+      std::shared_ptr<Job> job;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return stop || !open.empty(); });
+        if (stop) return;
+        job = open.front();
+      }
+      int i = job->next.fetch_add(1);
+      if (i >= int(job->paths.size())) {
+        // Exhausted: retire from the open queue (whoever sees it first).
+        std::lock_guard<std::mutex> lk(mu);
+        if (!open.empty() && open.front() == job) open.pop_front();
+        continue;
+      }
+      run_task(*job, i);
+      if (job->remaining.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv_done.notify_all();
+      }
+    }
+  }
+};
 
 extern "C" {
 
-const char* gdl_version() { return "glowdata-1.0"; }
+const char* gdl_version() { return "glowdata-1.1"; }
+
+gdl_pool* gdl_pool_create(int threads) {
+  if (threads < 1) threads = 1;
+  auto* p = new gdl_pool();
+  p->workers.reserve(threads);
+  for (int t = 0; t < threads; ++t)
+    p->workers.emplace_back([p] { p->worker(); });
+  return p;
+}
+
+void gdl_pool_destroy(gdl_pool* p) {
+  if (!p) return;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stop = true;
+  }
+  p->cv_work.notify_all();
+  for (auto& th : p->workers) th.join();
+  delete p;
+}
+
+int gdl_pool_submit(gdl_pool* p, const char* const* paths, int n, int size,
+                    unsigned char* out) {
+  if (!p || n < 0 || size <= 0 || (n > 0 && !out)) return -1;
+  auto job = std::make_shared<Job>();
+  job->paths.reserve(n);
+  for (int i = 0; i < n; ++i) job->paths.emplace_back(paths[i]);
+  job->size = size;
+  job->out = out;
+  job->remaining.store(n);
+  int id;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    id = p->next_id++;
+    p->jobs.emplace(id, job);
+    if (n > 0) p->open.push_back(job);
+  }
+  if (n > 0) p->cv_work.notify_all();
+  return id;
+}
+
+int gdl_pool_wait(gdl_pool* p, int job_id) {
+  if (!p) return -1;
+  std::shared_ptr<Job> job;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    auto it = p->jobs.find(job_id);
+    if (it == p->jobs.end()) return -1;
+    job = it->second;
+    p->cv_done.wait(lk, [&] { return job->remaining.load() == 0; });
+    p->jobs.erase(job_id);
+  }
+  return job->failures.load();
+}
 
 int gdl_image_dims(const char* path, int* w, int* h) {
   Image img;

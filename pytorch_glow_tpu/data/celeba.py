@@ -151,6 +151,11 @@ def celeba_batches(
     pool = None if use_native else ThreadPoolExecutor(
         max_workers=max(1, data_cfg.num_workers)
     )
+    native_pool = (
+        nl.DecodePool(ds.image_size, threads=data_cfg.num_workers)
+        if use_native else None
+    )
+    pending: dict[int, int] = {}  # batch index -> in-flight decode job id
     bs = train_cfg.batch_size
     n = len(ds)
     bpe = n // bs  # full batches per epoch (drop remainder)
@@ -160,7 +165,7 @@ def celeba_batches(
     pidx, pcount = _proc_slice()
     lo, hi = _process_rows(bs, pidx, pcount)
 
-    def batch_at(i: int):
+    def batch_indices(i: int) -> np.ndarray:
         # Test split cycles deterministically (periodic eval islices a few
         # batches per eval); train shuffles per epoch.
         epoch, k = divmod(i, bpe)
@@ -168,14 +173,22 @@ def celeba_batches(
         idx = order[k * bs : (k + 1) * bs]
         if pcount > 1:
             idx = idx[lo:hi]  # this process decodes only its rows
+        return idx
+
+    def submit(i: int) -> int:
+        paths = [os.path.join(ds.img_dir, ds.files[j]) for j in batch_indices(i)]
+        return native_pool.submit(paths)
+
+    def batch_at(i: int):
+        idx = batch_indices(i)
         if use_native:
-            # GIL-free C++ decode+crop+resize batch assembly.
-            paths = [os.path.join(ds.img_dir, ds.files[j]) for j in idx]
-            batch = {
-                "image": nl.decode_batch(
-                    paths, ds.image_size, threads=data_cfg.num_workers
-                )
-            }
+            # GIL-free C++ decode; batch i was usually submitted while
+            # batch i-1 was being consumed (double-buffered lookahead).
+            for stale in [b for b in pending if b != i]:
+                native_pool.wait(pending.pop(stale))  # non-sequential access
+            job = pending.pop(i, None)
+            batch = {"image": native_pool.wait(job if job is not None else submit(i))}
+            pending[i + 1] = submit(i + 1)
             if ds.attrs is not None:
                 batch["attr"] = np.stack([ds.attrs[ds.files[j]] for j in idx])
         else:

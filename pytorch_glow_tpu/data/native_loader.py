@@ -64,6 +64,17 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)
         ]
         lib.gdl_version.restype = ctypes.c_char_p
+        lib.gdl_pool_create.restype = ctypes.c_void_p
+        lib.gdl_pool_create.argtypes = [ctypes.c_int]
+        lib.gdl_pool_destroy.restype = None
+        lib.gdl_pool_destroy.argtypes = [ctypes.c_void_p]
+        lib.gdl_pool_submit.restype = ctypes.c_int
+        lib.gdl_pool_submit.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+        ]
+        lib.gdl_pool_wait.restype = ctypes.c_int
+        lib.gdl_pool_wait.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -102,6 +113,64 @@ def decode_batch(paths: list[str], size: int, threads: int = 0) -> np.ndarray:
             f"({err.value.decode(errors='replace')}); slots zero-filled"
         )
     return out
+
+
+class DecodePool:
+    """Persistent async decode pool (native/dataloader.cc gdl_pool_*).
+
+    `submit(paths)` queues a batch decode on the C++ worker threads and
+    returns a job id immediately; `wait(job)` blocks until that batch's
+    uint8 NHWC array is ready.  Submitting batch i+1 before waiting on
+    batch i double-buffers decode against consumption with no thread
+    re-spawn per batch and no GIL involvement in the decode itself.
+    """
+
+    def __init__(self, size: int, threads: int = 0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native loader unavailable: {_build_error}")
+        self._lib = lib
+        self.size = size
+        self._threads = threads or min(16, max(1, (os.cpu_count() or 1)))
+        self._handle = lib.gdl_pool_create(self._threads)
+        self._bufs: dict[int, np.ndarray] = {}  # job id -> output (kept alive)
+
+    def submit(self, paths: list[str]) -> int:
+        assert self._handle, "pool is closed"
+        n = len(paths)
+        out = np.empty((n, self.size, self.size, 3), dtype=np.uint8)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        job = self._lib.gdl_pool_submit(
+            self._handle, arr, n, self.size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        if job < 0:
+            raise RuntimeError("gdl_pool_submit failed")
+        self._bufs[job] = out
+        return job
+
+    def wait(self, job: int) -> np.ndarray:
+        out = self._bufs.pop(job)
+        failures = self._lib.gdl_pool_wait(self._handle, job)
+        if failures:
+            import warnings
+
+            warnings.warn(f"native decode: {failures}/{out.shape[0]} images "
+                          "failed; slots zero-filled")
+        return out
+
+    def close(self) -> None:
+        if self._handle:
+            for job in list(self._bufs):  # drain: buffers must outlive work
+                self.wait(job)
+            self._lib.gdl_pool_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def image_dims(path: str) -> tuple[int, int] | None:

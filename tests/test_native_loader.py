@@ -98,3 +98,29 @@ def test_missing_file_zero_filled(image_dir):
 def test_image_dims(image_dir):
     p, truth = image_dir["png"]
     assert nl.image_dims(p) == (truth.shape[1], truth.shape[0])
+
+
+def test_decode_pool_matches_sync(image_dir):
+    """Async pool results are identical to the one-shot API, including
+    out-of-order waits and many in-flight jobs on one persistent pool."""
+    paths = [image_dir["png"][0], image_dir["jpg"][0]] * 4
+    want = nl.decode_batch(paths, size=20)
+    pool = nl.DecodePool(size=20, threads=3)
+    try:
+        jobs = [pool.submit(paths) for _ in range(5)]
+        for j in reversed(jobs):  # wait newest-first
+            np.testing.assert_array_equal(pool.wait(j), want)
+    finally:
+        pool.close()
+
+
+def test_decode_pool_failure_and_close_drains(image_dir):
+    good = image_dir["png"][0]
+    pool = nl.DecodePool(size=16, threads=2)
+    job = pool.submit([good, "/nonexistent/x.jpg"])
+    with pytest.warns(UserWarning, match="failed"):
+        out = pool.wait(job)
+    assert out[1].sum() == 0 and out[0].sum() > 0
+    pool.submit([good])  # left in flight: close() must drain, not crash
+    pool.close()
+    pool.close()  # idempotent
