@@ -36,8 +36,9 @@ def parse_args(argv=None):
                                   "interpolate", "nll", "export", "serve"])
     p.add_argument("profile",
                    help="profile JSON/preset (op=serve: the artifact directory)")
-    p.add_argument("--batch-size", type=int, default=16,
-                   help="fixed serving batch for op=export")
+    p.add_argument("--batch-size", default="16",
+                   help="serving batch for op=export: an int, or 'dynamic' "
+                        "for a symbolic batch (one artifact, any batch)")
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets for op=export "
                         "(e.g. 'tpu,cpu'); default: current backend")
@@ -78,9 +79,10 @@ def main(argv=None):
         from pytorch_glow_tpu.serve import load_artifact
 
         model = load_artifact(args.profile)
-        imgs = model.sample(seed=args.seed, temperature=args.temperature)
+        n = args.num if model.batch_size == "dynamic" else None
+        imgs = model.sample(seed=args.seed, temperature=args.temperature, n=n)
         save_image_grid(args.output, imgs)
-        print(f"wrote {args.output} ({model.batch_size} samples @ "
+        print(f"wrote {args.output} ({imgs.shape[0]} samples @ "
               f"T={args.temperature} from artifact {args.profile})")
         return
 
@@ -107,8 +109,9 @@ def main(argv=None):
         from pytorch_glow_tpu.serve import export_artifact
 
         platforms = tuple(args.platforms.split(",")) if args.platforms else None
+        bs = args.batch_size if args.batch_size == "dynamic" else int(args.batch_size)
         man = export_artifact(params, prof.glow, args.output,
-                              batch_size=args.batch_size, platforms=platforms,
+                              batch_size=bs, platforms=platforms,
                               keep_kernels=args.keep_kernels)
         total = sum(f["bytes"] for f in man["functions"].values())
         print(f"wrote artifact {args.output}: "

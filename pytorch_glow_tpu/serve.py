@@ -14,9 +14,11 @@ Artifact layout (one directory):
     manifest.json      — format version, shapes/dtypes per function, config
     <name>.jaxexport   — serialized jax.export blob per entry point
 
-Entry points (all shapes static; batch is fixed at export time):
+Entry points (B is the export batch, or a symbolic dimension with
+batch_size="dynamic" — one artifact then serves any batch size):
 
-    sample(seed u32[], temperature f32[])       -> uint8 images
+    sample(n u8[B], seed u32[], temperature f32[]) -> uint8 images
+        (the first argument is a dummy carrier whose length IS the batch)
     sample_y(seed, temperature, labels i32[B])  -> uint8 images  (y-cond only)
     encode(x u8[B,H,W,C])                       -> z_L f32
     decode(z f32, seed, temperature)            -> uint8 images
@@ -47,26 +49,38 @@ _MANIFEST = "manifest.json"
 # ---------------------------------------------------------------------------
 
 
-def _serving_fns(params, cfg, batch_size: int):
-    """name -> (pure fn over runtime args, example args).  `params` and
-    `cfg` are closed over: export bakes them into the artifact."""
+def _serving_fns(params, cfg, batch_size):
+    """name -> (pure fn over runtime args, example arg specs).  `params`
+    and `cfg` are closed over: export bakes them into the artifact.
+
+    batch_size="dynamic" uses a jax.export symbolic batch dimension, so ONE
+    artifact serves any batch size; `sample` then takes a (b,)-shaped dummy
+    carrier as its first argument (the only way a no-array-input entry
+    point can receive a dynamic dimension)."""
     import jax
     import jax.numpy as jnp
 
     from pytorch_glow_tpu.models import glow
 
     h, w, c = cfg.image_shape
-    x_spec = jnp.zeros((batch_size, h, w, c), jnp.uint8)
-    z_spec = jnp.zeros((batch_size, *cfg.final_latent_shape), jnp.float32)
-    seed_spec = jnp.zeros((), jnp.uint32)
-    temp_spec = jnp.ones((), jnp.float32)
+    if batch_size == "dynamic":
+        from jax import export as jexport
+
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = batch_size
+    x_spec = jax.ShapeDtypeStruct((b, h, w, c), jnp.uint8)
+    z_spec = jax.ShapeDtypeStruct((b, *cfg.final_latent_shape), jnp.float32)
+    n_spec = jax.ShapeDtypeStruct((b,), jnp.uint8)
+    seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
+    temp_spec = jax.ShapeDtypeStruct((), jnp.float32)
 
     def _onehot(labels):
         return jax.nn.one_hot(labels, cfg.y_classes, dtype=jnp.float32)
 
-    def sample(seed, temperature):
-        imgs = glow.sample(params, jax.random.key(seed), cfg, n=batch_size,
-                           temperature=temperature)
+    def sample(n_like, seed, temperature):
+        imgs = glow.sample(params, jax.random.key(seed), cfg,
+                           n=n_like.shape[0], temperature=temperature)
         return glow.postprocess(imgs, cfg)
 
     def encode(x):
@@ -86,7 +100,7 @@ def _serving_fns(params, cfg, batch_size: int):
         return glow.log_prob(params, glow.preprocess(x, cfg), cfg)["nll"]
 
     fns = {
-        "sample": (sample, (seed_spec, temp_spec)),
+        "sample": (sample, (n_spec, seed_spec, temp_spec)),
         "encode": (encode, (x_spec,)),
         "decode": (decode, (z_spec, seed_spec, temp_spec)),
         "reconstruct": (reconstruct, (x_spec,)),
@@ -94,11 +108,12 @@ def _serving_fns(params, cfg, batch_size: int):
     }
 
     if cfg.y_condition:
-        labels_spec = jnp.zeros((batch_size,), jnp.int32)
+        labels_spec = jax.ShapeDtypeStruct((b,), jnp.int32)
 
         def sample_y(seed, temperature, labels):
-            imgs = glow.sample(params, jax.random.key(seed), cfg, n=batch_size,
-                               temperature=temperature, y_onehot=_onehot(labels))
+            imgs = glow.sample(params, jax.random.key(seed), cfg,
+                               n=labels.shape[0], temperature=temperature,
+                               y_onehot=_onehot(labels))
             return glow.postprocess(imgs, cfg)
 
         def nll_y(x, labels):
@@ -115,7 +130,7 @@ def export_artifact(
     params,
     cfg,
     out_dir: str,
-    batch_size: int = 16,
+    batch_size: int | str = 16,
     functions: tuple[str, ...] | None = None,
     platforms: tuple[str, ...] | None = None,
     keep_kernels: bool = False,
@@ -123,6 +138,9 @@ def export_artifact(
 ) -> dict:
     """Export serving entry points for a trained model; returns the manifest.
 
+    batch_size: fixed serving batch, or "dynamic" for a symbolic batch
+    dimension — one artifact then serves ANY batch size (incompatible with
+    mesh, whose shardings need a concrete batch).
     platforms: lowering targets recorded in the blobs (e.g. ("tpu", "cpu"));
     None = the current default backend only.  keep_kernels: export with the
     config's Pallas fused kernels instead of forcing the portable XLA path.
@@ -147,6 +165,9 @@ def export_artifact(
         fns = {k: fns[k] for k in functions}
 
     if mesh is not None:
+        if batch_size == "dynamic":
+            raise ValueError("batch_size='dynamic' is incompatible with mesh "
+                             "export (shardings need a concrete batch)")
         if "data" not in mesh.axis_names:
             raise ValueError(f"mesh {mesh.axis_names} has no 'data' axis")
         if batch_size % mesh.shape["data"]:
@@ -190,7 +211,10 @@ def export_artifact(
         with open(os.path.join(out_dir, f"{name}.jaxexport"), "wb") as f:
             f.write(blob)
         manifest["functions"][name] = {
-            "args": [{"shape": list(a.shape), "dtype": str(a.dtype)} for a in args],
+            # symbolic dims (dynamic batch) serialize as their name, "b"
+            "args": [{"shape": [d if isinstance(d, int) else str(d)
+                                for d in a.shape],
+                      "dtype": str(a.dtype)} for a in args],
             "arg_specs": arg_specs,
             "bytes": len(blob),
         }
@@ -281,7 +305,9 @@ class ServedModel:
     # -- convenience wrappers (numpy in/out) --------------------------------
 
     def sample(self, seed: int = 0, temperature: float = 0.7,
-               labels=None) -> np.ndarray:
+               labels=None, n: int | None = None) -> np.ndarray:
+        """n: batch size for "dynamic" artifacts (fixed artifacts always
+        produce their exported batch)."""
         import jax.numpy as jnp
 
         seed = jnp.uint32(seed)
@@ -290,7 +316,10 @@ class ServedModel:
             out = self.fn("sample_y")(seed, temperature,
                                       jnp.asarray(labels, jnp.int32))
         else:
-            out = self.fn("sample")(seed, temperature)
+            if n is None:
+                n = self.batch_size if self.batch_size != "dynamic" else 16
+            carrier = jnp.zeros((n,), jnp.uint8)
+            out = self.fn("sample")(carrier, seed, temperature)
         return np.asarray(out)
 
     def encode(self, images) -> np.ndarray:

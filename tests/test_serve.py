@@ -160,6 +160,34 @@ def test_sharded_export_serves_on_a_mesh(tiny, tmp_path):
                               batch_size=3, functions=("sample",), mesh=mesh)
 
 
+def test_dynamic_batch_artifact_serves_any_batch(tiny, tmp_path):
+    """batch_size='dynamic' exports a symbolic batch dimension: one
+    artifact serves every batch size."""
+    params, cfg = tiny
+    out = str(tmp_path / "dyn")
+    man = serve.export_artifact(params, cfg, out, batch_size="dynamic",
+                                functions=("sample", "nll", "encode"))
+    assert man["batch_size"] == "dynamic"
+    assert man["functions"]["nll"]["args"][0]["shape"] == ["b", 8, 8, 3]
+
+    m = serve.load_artifact(out)
+    for n in (1, 3, 8):
+        assert m.sample(seed=1, temperature=0.7, n=n).shape == (n, 8, 8, 3)
+        x = np.random.default_rng(n).integers(0, 256, (n, 8, 8, 3), np.uint8)
+        nll = m.nll(x)
+        live = np.asarray(glow.log_prob(
+            params, glow.preprocess(jnp.asarray(x), cfg), cfg)["nll"])
+        np.testing.assert_allclose(nll, live, rtol=1e-5)
+
+    # dynamic + mesh is rejected (shardings need a concrete batch)
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    with pytest.raises(ValueError, match="dynamic"):
+        serve.export_artifact(params, cfg, str(tmp_path / "bad"),
+                              batch_size="dynamic", mesh=mesh)
+
+
 def test_newer_format_rejected(artifact, tmp_path):
     import shutil
 
