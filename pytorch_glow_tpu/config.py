@@ -249,6 +249,13 @@ PRESETS: dict[str, Profile] = {
             K=32,
             L=6,
             n_bits_x=5,
+            # Additive coupling at 256² (Glow-paper practice for the
+            # largest models).  Measured: affine at this depth diverged to
+            # non-finite loss at ~2.7k steps (b8, textured) on BOTH the
+            # bf16 fused-kernel arm AND an f32/XLA control resumed from the
+            # same snapshot — the instability is the affine scale dynamics,
+            # not kernel numerics (ROUND3.md, round-3 soaks).
+            flow_coupling="additive",
             compute_dtype="bfloat16",
             invconv_precision="high",
             # Fully-fused training via the halo fwd+bwd kernels (round 3):

@@ -621,12 +621,22 @@ def _bwd_halo_bytes_per_col(c: int, hidden: int, affine: bool) -> int:
     )
 
 
+# The halo backward's byte/column model underestimates Mosaic's real stack
+# use by up to ~30% at small c (measured: additive 128²·c12 with R=8 =
+# 1536 ext cols compiled to a 17.29 MB scoped allocation vs the 16 MB
+# limit, while R=4 — what the affine variant of the same level selects —
+# runs in production).  Derate the halo budget so the chooser stays on the
+# hardware-proven side of that cliff instead of trusting the model at the
+# boundary.
+_BWD_HALO_VMEM = 10 * 2**20
+
+
 def _bwd_halo_rows(hh: int, ww: int, c: int, hidden: int,
                    affine: bool) -> int | None:
     """Rows-per-tile R for the halo-tiled BACKWARD (same tiling contract as
     the forward's `_halo_rows`: R divides hh, R >= 4, lane-aligned center,
     (R+4)-row extended region within the backward VMEM budget)."""
-    budget = _BWD_TOTAL_VMEM - _bwd_fixed_bytes(c, hidden, affine)
+    budget = _BWD_HALO_VMEM - _bwd_fixed_bytes(c, hidden, affine)
     if budget <= 0:
         return None
     cap = min(MAX_TILE_COLS, budget // _bwd_halo_bytes_per_col(c, hidden, affine))

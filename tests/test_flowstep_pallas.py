@@ -510,3 +510,16 @@ def test_fused_under_data_parallel_mesh(eight_devices):
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(local), atol=1e-3, rtol=1e-4
     )
+
+
+def test_bwd_halo_row_choice_stays_on_proven_side_of_vmem_cliff():
+    """Mosaic's real stack use exceeds the byte/column model by up to ~30%
+    at small c: additive 128²·c12 with R=8 (1536 ext cols) compiled to a
+    17.29 MB scoped allocation vs the 16 MB limit on v5e, while R=4 runs in
+    production.  The derated halo budget must keep both coupling kinds at
+    R=4 on the 256²-config top level (and never regress the proven affine
+    choices at the deeper halo levels)."""
+    assert fsp._bwd_halo_rows(128, 128, 12, 512, affine=False) == 4
+    assert fsp._bwd_halo_rows(128, 128, 12, 512, affine=True) == 4
+    assert fsp._bwd_halo_rows(64, 64, 24, 512, affine=True) == 8
+    assert fsp._bwd_halo_rows(64, 64, 24, 512, affine=False) == 8
