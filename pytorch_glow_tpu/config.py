@@ -272,7 +272,14 @@ PRESETS: dict[str, Profile] = {
         # call anyway.
         train=TrainConfig(batch_size=64, sample_temperature=0.7,
                           steps_per_call=1, eval_gap=2000),
-        optim=OptimConfig(schedule="noam"),  # survivable default (see cifar10)
+        # lr 1e-4 (not the 64² presets' 1e-3): at 256² the flow is 192 steps
+        # deep and training sits at the edge of stability — round-3 soaks
+        # measured an oscillatory blow-up (grad-norm doubling per step over
+        # ~10 steps at FLAT loss, no parameter drift beforehand) whenever the
+        # noam ramp crossed lr ≈ 1.8-2.1e-4, reproducibly at b8 AND b64,
+        # additive AND affine coupling, bf16/fused AND f32/XLA (ROUND3.md).
+        # Peak 1e-4 keeps a ~2x margin below the measured threshold.
+        optim=OptimConfig(lr=1e-4, schedule="noam"),
         data=DataConfig(name="celebahq", image_size=256),
         mesh=MeshConfig(data=-1, model=1),
     ),

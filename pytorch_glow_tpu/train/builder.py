@@ -22,7 +22,7 @@ from pytorch_glow_tpu.data import pipeline
 from pytorch_glow_tpu.models import glow
 from pytorch_glow_tpu.parallel import mesh as meshlib
 from pytorch_glow_tpu.train import step as steplib
-from pytorch_glow_tpu.train.optim import make_optimizer
+from pytorch_glow_tpu.train.optim import make_optimizer, make_schedule
 from pytorch_glow_tpu.utils.checkpoint import CheckpointManager
 
 
@@ -94,10 +94,13 @@ def build(
                 f"{t.steps_per_call}"
             )
         train_step = steplib.make_train_step_n(
-            g, tx, t.steps_per_call, ema_decay=t.ema_decay
+            g, tx, t.steps_per_call, ema_decay=t.ema_decay,
+            schedule=make_schedule(profile.optim),
         )
     else:
-        train_step = steplib.make_train_step(g, tx, ema_decay=t.ema_decay)
+        train_step = steplib.make_train_step(
+            g, tx, ema_decay=t.ema_decay, schedule=make_schedule(profile.optim)
+        )
     # Serving-path config: eval/sampling/reconstruction take the fused
     # flow-step kernel on TPU (ops/flowstep_pallas.py; +60% and a 10x
     # tighter round-trip on v5e).  The train step keeps the profile's

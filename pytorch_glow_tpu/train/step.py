@@ -54,10 +54,15 @@ def ema_params(state: State) -> dict:
 
 
 def make_train_step(
-    cfg: GlowConfig, tx: optax.GradientTransformation, ema_decay: float = 0.0
+    cfg: GlowConfig,
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.0,
+    schedule=None,
 ):
     """Returns jitted (state, image_batch[, y_onehot]) -> (state, metrics)."""
-    return jax.jit(_make_train_step_fn(cfg, tx, ema_decay), donate_argnums=(0,))
+    return jax.jit(
+        _make_train_step_fn(cfg, tx, ema_decay, schedule), donate_argnums=(0,)
+    )
 
 
 def make_train_step_n(
@@ -65,6 +70,7 @@ def make_train_step_n(
     tx: optax.GradientTransformation,
     n: int,
     ema_decay: float = 0.0,
+    schedule=None,
 ):
     """N train steps chained in ONE jit dispatch via lax.fori_loop.
 
@@ -75,7 +81,7 @@ def make_train_step_n(
     calls of the single-step function.  Returns the final state and the
     last step's metrics.
     """
-    one = _make_train_step_fn(cfg, tx, ema_decay)
+    one = _make_train_step_fn(cfg, tx, ema_decay, schedule)
 
     def train_step_n(state: State, batches: jax.Array, y_onehot=None):
         def body(i, carry):
@@ -93,8 +99,13 @@ def make_train_step_n(
     return jax.jit(train_step_n, donate_argnums=(0,))
 
 
-def _make_train_step_fn(cfg, tx, ema_decay):
-    """The un-jitted single-step body (shared by the jitted wrappers)."""
+def _make_train_step_fn(cfg, tx, ema_decay, schedule=None):
+    """The un-jitted single-step body (shared by the jitted wrappers).
+
+    `schedule`: optional step -> lr callable, logged as metrics["lr"] —
+    every divergence forensic this round needed lr-at-step, so the loop
+    reports it instead of leaving it to hand reconstruction.
+    """
 
     def train_step(state: State, batch: jax.Array, y_onehot=None):
         if batch.dtype == jnp.uint8:
@@ -113,6 +124,8 @@ def _make_train_step_fn(cfg, tx, ema_decay):
         updates, opt_state = tx.update(grads, state["opt_state"], trainable)
         trainable = optax.apply_updates(trainable, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if schedule is not None:
+            metrics["lr"] = schedule(state["step"])
         new_state = {
             "step": state["step"] + 1,
             "params": merge(trainable, frozen),
