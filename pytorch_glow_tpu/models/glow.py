@@ -226,7 +226,7 @@ def _use_fused(cfg: GlowConfig, z) -> bool:
 
     return fsp.supported(
         z.shape[1], z.shape[2], z.shape[3], cfg.hidden_channels,
-        cfg.flow_coupling == "affine",
+        cfg.flow_coupling == "affine", b=z.shape[0],
     )
 
 

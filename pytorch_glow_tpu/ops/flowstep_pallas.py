@@ -121,11 +121,32 @@ def _halo_rows(hh: int, ww: int, c: int, hidden: int,
     return best
 
 
-def supported(h: int, w: int, c: int, hidden: int, affine: bool = True) -> bool:
+def _whole_image_ok(h: int, w: int, c: int, hidden: int,
+                    b: int | None = None, affine: bool = True) -> bool:
+    """Whole-image forward tiling feasible?  With `b` given, also verifies a
+    feasible tile exists: a divisor of b whose tile is lane-aligned (128
+    columns) and under the cap, or a single full tile that itself fits —
+    `_tile_batch` falls back to tb=b when no aligned divisor fits, and that
+    full tile is only legal when it actually fits VMEM (same contract as
+    `_bwd_whole_image_ok` on the backward side)."""
+    cap = _max_cols(c, hidden, affine)
+    hw = h * w
+    if hw > cap:
+        return False
+    if b is None or b * hw <= cap:
+        return True
+    return any(
+        b % d == 0 and (d * hw) % 128 == 0 and d * hw <= cap
+        for d in range(1, b + 1)
+    )
+
+
+def supported(h: int, w: int, c: int, hidden: int, affine: bool = True,
+              b: int | None = None) -> bool:
     """Whole images per tile when one image's pixels fit the VMEM budget;
     otherwise halo row-band tiles (e.g. the 128x128 levels of 256x256
     configs).  False only when even a 4-row band cannot fit."""
-    if h * w <= _max_cols(c, hidden, affine):
+    if _whole_image_ok(h, w, c, hidden, b, affine):
         return True
     return _halo_rows(h, w, c, hidden, affine) is not None
 
@@ -432,7 +453,7 @@ def _step_raw(reverse, affine, hh, ww, b, zt, *weights):
     ch = c // 2
     cout = c if affine else ch
     hidden = weights[3].shape[0]  # w1T (hidden, 9*ch)
-    if hh * ww > _max_cols(c, hidden, affine):
+    if not _whole_image_ok(hh, ww, c, hidden, b, affine):
         return _step_raw_halo(reverse, affine, hh, ww, b, zt, *weights)
     tb = _tile_batch(b, hh, ww, c, hidden, affine)
     n = tb * hh * ww

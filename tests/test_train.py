@@ -48,6 +48,9 @@ def test_train_loss_decreases_and_resumes(tmp_path):
     # Synthetic uniform-noise images: a flow should quickly approach the
     # ~8 bits/dim entropy of uniform data from a worse init.
     assert result["nll"] < 12.0
+    # The step reports the schedule's lr-at-step (divergence forensics need
+    # lr without hand reconstruction; see celebahq256 threshold, ROUND3.md).
+    assert "lr" in result and 0.0 < result["lr"] <= 1.0
 
     # Resume: a fresh build must restore step 16 from orbax.
     built2 = builderlib.build(p)
