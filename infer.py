@@ -60,6 +60,11 @@ def parse_args(argv=None):
     p.add_argument("--best", action="store_true",
                    help="load the best-eval-NLL snapshot instead of the latest")
     p.add_argument("--out-dir", default=None, help="training out-dir (to locate checkpoints)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the host CPU (this box's TPU boot hook "
+                        "force-selects the tunneled chip over JAX_PLATFORMS; "
+                        "exports lowered with --platforms tpu,cpu stay "
+                        "portable either way)")
     p.add_argument("-o", "--output", default="infer_out.png")
     return p.parse_args(argv)
 
@@ -67,6 +72,9 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     import train as train_cli
     from pytorch_glow_tpu.inference import Inferer

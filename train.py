@@ -38,6 +38,9 @@ def parse_args(argv=None):
                    help="auto-resume from the latest snapshot after a crash, "
                         "up to N times (elastic-recovery; reference requires "
                         "a manual relaunch)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the host CPU (this box's TPU boot hook "
+                        "force-selects the tunneled chip over JAX_PLATFORMS)")
     return p.parse_args(argv)
 
 
@@ -80,6 +83,10 @@ def resolve_profile(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     prof = resolve_profile(args)
     from pytorch_glow_tpu.parallel.distributed import maybe_initialize
 
