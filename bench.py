@@ -38,7 +38,36 @@ import sys
 import time
 
 
+def _init_backend_bounded(timeout_s: float = 600.0):
+    """jax backend init, bounded.  The tunneled TPU's client creation can
+    WEDGE indefinitely (observed: >1.5 h of hangs after the remote side got
+    into a bad state) — a benchmark must fail loudly with a parseable JSON
+    line, not hang the driver forever.  Runs jax.devices() on a daemon
+    thread; on timeout prints an error record and exits non-zero."""
+    import threading
+
+    import jax
+
+    box: list = []
+    th = threading.Thread(target=lambda: box.append(jax.devices()), daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not box:
+        print(json.dumps({
+            "metric": "images/sec/chip",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": f"backend init did not complete within {timeout_s:.0f}s "
+                     "(tunneled TPU client creation wedged; see "
+                     "docs/BENCHMARKING.md / CLAUDE.md gotchas)",
+        }))
+        sys.exit(1)
+    return box[0]
+
+
 def main() -> None:
+    _init_backend_bounded()
     import jax
     import jax.numpy as jnp
 
