@@ -12,6 +12,8 @@ and all heavy work lives in one donated jit.
 from __future__ import annotations
 
 import os
+import signal
+import threading
 import time
 
 import jax
@@ -21,6 +23,28 @@ from pytorch_glow_tpu.train import step as steplib
 from pytorch_glow_tpu.train.builder import Built, _labels_to_onehot
 from pytorch_glow_tpu.utils.image import save_image_grid
 from pytorch_glow_tpu.utils.metrics import MetricLogger
+
+
+def _preempt_stop(preempt: dict, step: int, log_gap: int) -> bool:
+    """True when training should stop for a delivered SIGTERM.
+
+    TPU pods deliver SIGTERM with a grace period on preemption/maintenance;
+    stopping at a step boundary lets the final snapshot capture a valid
+    state.  Under multi-process the per-process flag must become a
+    COLLECTIVE decision (a one-sided break would leave peers blocked in the
+    next step's collectives), so it is OR-reduced across processes at
+    `scalar_log_gap` boundaries — the same step numbers on every process.
+    """
+    if jax.process_count() == 1:
+        return preempt["sig"] is not None
+    if log_gap and step % log_gap != 0:
+        return False
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray(1 if preempt["sig"] is not None else 0, np.int32)
+    )
+    return bool(np.any(flags))
 
 
 def _data_state(built: Built):
@@ -53,8 +77,29 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
     failed = False
     nonfinite_logs = 0
 
+    # Graceful preemption (SURVEY.md §5 failure recovery, beyond-reference):
+    # catch SIGTERM, finish the in-flight step, snapshot, return cleanly.
+    # Signal handlers can only be installed from the main thread; elsewhere
+    # (e.g. tests driving train() from a worker) preemption stays disabled.
+    preempt: dict = {"sig": None}
+    stopped_early = False
+    in_main = threading.current_thread() is threading.main_thread()
+    prev_handler = None
+    if in_main:
+        prev_handler = signal.signal(
+            signal.SIGTERM, lambda signum, frame: preempt.__setitem__("sig", signum)
+        )
+
     try:
         while step < num_steps:
+            if _preempt_stop(preempt, step, t.scalar_log_gap):
+                stopped_early = True
+                if not quiet:
+                    print(
+                        f"[train] SIGTERM: stopping at step {step} "
+                        f"(snapshot will be written)", flush=True
+                    )
+                break
             if t.profile_step and step == t.profile_step and not profiling:
                 jax.profiler.start_trace(os.path.join(out_dir, "profile"))
                 profiling = True
@@ -188,6 +233,8 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
         failed = True
         raise
     finally:
+        if in_main:
+            signal.signal(signal.SIGTERM, prev_handler or signal.SIG_DFL)
         if profiling:
             jax.profiler.stop_trace()
         if built.ckpt is not None and not failed:
@@ -196,4 +243,7 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
 
     built.state = state
     wall = time.perf_counter() - t_start
-    return {"final_step": step, "wall_s": wall, **last_metrics}
+    result = {"final_step": step, "wall_s": wall, **last_metrics}
+    if stopped_early:
+        result["preempted"] = True  # resumable: rerun the same command
+    return result

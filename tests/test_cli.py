@@ -121,3 +121,73 @@ def test_infer_export_then_serve(trained, tmp_path):
 def test_train_rejects_unknown_profile():
     with pytest.raises(SystemExit):
         train_cli.main(["definitely-not-a-preset", "--quiet"])
+
+
+def test_train_sigterm_preempts_cleanly_and_resumes(tmp_path):
+    """Graceful preemption (SURVEY.md §5 failure recovery): SIGTERM mid-run
+    -> the trainer stops at the next step boundary, writes a snapshot, and
+    exits 0 with {"preempted": true}; re-running the same command resumes
+    from that snapshot and completes."""
+    import signal
+    import subprocess
+    import time
+
+    out = str(tmp_path)
+    prof_path = os.path.join(out, "p.json")
+    with open(prof_path, "w") as f:
+        json.dump(
+            {
+                "name": "pre",
+                "glow": {"image_shape": [8, 8, 3], "hidden_channels": 16,
+                          "K": 2, "L": 2},
+                # num_steps far beyond what fits in the wait window: if the
+                # SIGTERM path regresses, the run outlives the timeout below
+                # and the test fails instead of passing by completion.
+                "train": {"batch_size": 8, "num_steps": 50000,
+                           "scalar_log_gap": 1, "plot_gap": 0, "eval_gap": 0,
+                           "checkpoint_gap": 0, "num_sample_images": 4},
+                "data": {"name": "synthetic", "image_size": 8},
+            },
+            f,
+        )
+    csv_path = os.path.join(out, "pre", "metrics.csv")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "train.py"), prof_path,
+         "--out-dir", out, "--quiet", "--cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+    )
+    try:
+        # Wait until the step loop is live (first scalar row logged) so the
+        # handler is installed before the signal lands.
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if os.path.isfile(csv_path) and len(
+                open(csv_path).read().splitlines()
+            ) >= 2:
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"train exited early: {proc.stderr.read()[-3000:]}"
+                )
+            time.sleep(0.5)
+        else:
+            raise AssertionError("step loop never became live")
+        proc.send_signal(signal.SIGTERM)
+        stdout, stderr = proc.communicate(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, stderr[-3000:]
+    result = json.loads(stdout.splitlines()[-1])
+    assert result.get("preempted") is True
+    stopped = result["final_step"]
+    assert 0 < stopped < 50000
+
+    # The preemption snapshot is resumable: finish a slightly longer run.
+    r2 = train_cli.main([prof_path, "--out-dir", out, "--quiet",
+                         "--steps", str(stopped + 2)])
+    assert r2["final_step"] == stopped + 2
+    assert "preempted" not in r2
