@@ -48,11 +48,22 @@ def parse_args(argv=None):
     p.add_argument("-n", "--num", type=int, default=16)
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--data-root", default=None)
-    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic", nargs="?", const="uniform", default=None,
+                   choices=["uniform", "smooth", "textured"],
+                   help="force synthetic data (same families as train.py)")
     p.add_argument("--delta", default=None, help="path to attribute-delta .npz")
     p.add_argument("--attr", type=int, default=0, help="attribute index")
     p.add_argument("--strength", type=float, default=1.0)
     p.add_argument("--batches", type=int, default=50, help="batches for delta/nll")
+    p.add_argument("--dequant-samples", type=int, default=0,
+                   help="op=nll: average a VALID discrete-NLL bound over N "
+                        "dequantization-noise draws (0 = legacy noise-free "
+                        "eval at the bin corner; 1 = the standard published "
+                        "protocol)")
+    p.add_argument("--bound", choices=["elbo", "iwae"], default="elbo",
+                   help="op=nll with --dequant-samples N>1: mean of "
+                        "per-draw bounds (elbo) or the tighter logsumexp "
+                        "importance bound (iwae)")
     p.add_argument("--steps", type=int, default=8, help="interpolation steps")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ema", action="store_true",
@@ -178,12 +189,27 @@ def main(argv=None):
 
         total, count = 0.0, 0
         it = itertools.chain([batch], built.data)
-        for b in itertools.islice(it, args.batches):
+        for bi, b in enumerate(itertools.islice(it, args.batches)):
             # y-conditional profiles need y_onehot for the prior shift.
-            nll = inferer.nll(np.asarray(b["image"]), _labels_to_onehot(b, prof))
+            y = _labels_to_onehot(b, prof)
+            if args.dequant_samples > 0:
+                import jax as _jax
+
+                nll = inferer.nll_bound(
+                    np.asarray(b["image"]), samples=args.dequant_samples,
+                    bound=args.bound,
+                    rng=_jax.random.fold_in(_jax.random.key(args.seed), bi),
+                    y_onehot=y,
+                )
+            else:
+                nll = inferer.nll(np.asarray(b["image"]), y)
             total += float(nll.sum())
             count += nll.shape[0]
-        print(f"nll: {total / count:.4f} bits/dim over {count} images")
+        how = (
+            f"{args.bound} bound, {args.dequant_samples} noise draws"
+            if args.dequant_samples > 0 else "noise-free (bin corner)"
+        )
+        print(f"nll: {total / count:.4f} bits/dim over {count} images ({how})")
         return
 
 

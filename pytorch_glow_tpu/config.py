@@ -30,7 +30,15 @@ class GlowConfig:
     y_multi_class: bool = True  # BCE over attributes (CelebA) vs softmax CE
     weight_y: float = 0.01
     n_bits_x: int = 8
-    dequant: str = "uniform"  # uniform | gaussian | none
+    # uniform (paper-correct) | gaussian (reference-lineage quirk) |
+    # variational (learned q(u|x), Flow++-style — tightens the bound by
+    # ~0.06-0.1 bits/dim; models/vardeq.py) | none
+    dequant: str = "uniform"
+    # Variational-dequantization flow shape (used when dequant="variational";
+    # <1% of model FLOPs at paper scale):
+    vardeq_steps: int = 4
+    vardeq_width: int = 64
+    vardeq_context_width: int = 32
     # TPU knobs (no reference counterpart):
     compute_dtype: str = "float32"  # coupling-net compute: float32 | bfloat16
     remat: bool = False  # jax.checkpoint the per-step scan body

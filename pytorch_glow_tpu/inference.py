@@ -17,6 +17,7 @@ object only carries params + compiled callables.  Two latent views exist:
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Iterator
 
@@ -62,11 +63,19 @@ class Inferer:
         def _nll(params, x, y_onehot=None):
             return glow.log_prob(params, _prep(x), cfg, y_onehot=y_onehot)["nll"]
 
+        @functools.partial(jax.jit, static_argnames=("samples", "bound"))
+        def _nll_bound(params, x, rng, samples, bound, y_onehot=None):
+            return glow.nll_bound(
+                params, _prep(x), cfg, rng, samples=samples, bound=bound,
+                y_onehot=y_onehot,
+            )
+
         self._encode = _encode
         self._encode_full = _encode_full
         self._decode = _decode
         self._decode_full = _decode_full
         self._nll = _nll
+        self._nll_bound = _nll_bound
 
     # -- core ---------------------------------------------------------------
 
@@ -97,7 +106,24 @@ class Inferer:
         return np.asarray(glow.postprocess(imgs, self.cfg))
 
     def nll(self, images, y_onehot=None) -> np.ndarray:
+        """Noise-free NLL at the bin corner (the reference lineage's eval
+        convention; fine for relative comparisons, NOT a discrete-NLL
+        bound — use `nll_bound` for publishable numbers)."""
         return np.asarray(self._nll(self.params, jnp.asarray(images), y_onehot))
+
+    def nll_bound(
+        self, images, samples: int = 1, bound: str = "elbo", rng=None,
+        y_onehot=None,
+    ) -> np.ndarray:
+        """Valid Monte-Carlo bound on the discrete NLL (bits/dim per image):
+        samples=1, bound="elbo" is the standard published protocol; larger
+        `samples` with bound="iwae" tightens toward the true log P(x)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        return np.asarray(
+            self._nll_bound(
+                self.params, jnp.asarray(images), rng, samples, bound, y_onehot
+            )
+        )
 
     # -- attribute manipulation (CelebA workflow) ----------------------------
 

@@ -79,7 +79,13 @@ def init_glow(rng: jax.Array, cfg: GlowConfig) -> Params:
     if cfg.y_condition:
         top["project_ycond"] = L.linear_zeros_init(cfg.y_classes, 2 * c_final)
         top["project_class"] = L.linear_zeros_init(c_final, cfg.y_classes)
-    return {"levels": levels, "top": top}
+    params: Params = {"levels": levels, "top": top}
+    if cfg.dequant == "variational":
+        from pytorch_glow_tpu.models import vardeq
+
+        rng, r_vd = jax.random.split(rng)
+        params["vardeq"] = vardeq.vardeq_init(r_vd, cfg)
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -437,8 +443,11 @@ def dequantize(rng: jax.Array, x: jax.Array, cfg: GlowConfig) -> jax.Array:
     """Training-time dequantization noise on [0,1)-scaled inputs.
 
     Default uniform U(0, 1/n_bins) (paper-correct); "gaussian" reproduces the
-    reference lineage's N(0, (1/n_bins)^2) quirk for parity experiments."""
-    if cfg.dequant == "uniform":
+    reference lineage's N(0, (1/n_bins)^2) quirk for parity experiments.
+    For dequant="variational" this PARAM-FREE helper adds plain uniform
+    noise — it serves input prep (DDI batches, benchmarks); the learned
+    q(u|x) path lives in `log_prob` (models/vardeq.py)."""
+    if cfg.dequant in ("uniform", "variational"):
         return x + jax.random.uniform(rng, x.shape, x.dtype) / cfg.n_bins
     if cfg.dequant == "gaussian":
         return x + jax.random.normal(rng, x.shape, x.dtype) / cfg.n_bins
@@ -458,9 +467,19 @@ def log_prob(
     nll = -objective / (ln2 * D), D = C*H*W (SURVEY.md §2.4).
     """
     dims = num_dims((x.shape[0], *cfg.image_shape))
+    neg_log_q = None
     if rng is not None:
-        x = dequantize(rng, x, cfg)
+        if cfg.dequant == "variational":
+            # Learned q(u|x): −log q tightens the bound (exactly 0 for
+            # uniform q and at the flow's zero-init; models/vardeq.py).
+            from pytorch_glow_tpu.models import vardeq
+
+            x, neg_log_q = vardeq.vardeq_apply(params["vardeq"], rng, x, cfg)
+        else:
+            x = dequantize(rng, x, cfg)
     logdet = jnp.full((x.shape[0],), discretization_correction(dims, cfg.n_bins), jnp.float32)
+    if neg_log_q is not None:
+        logdet = logdet + neg_log_q
     z, objective, _, _ = encode(params, x, cfg, logdet=logdet)
     mean, logs = top_prior(params, cfg, x.shape[0], y_onehot)
     objective = objective + gaussian_logp(mean, logs, z.astype(jnp.float32))
@@ -469,10 +488,53 @@ def log_prob(
         "objective": objective,
         "nll": bits_per_dim(objective, dims),
     }
+    if neg_log_q is not None:
+        out["neg_log_q"] = neg_log_q
     if cfg.y_condition:
         pooled = jnp.mean(z.astype(jnp.float32), axis=(1, 2))
         out["y_logits"] = L.linear_zeros_forward(params["top"]["project_class"], pooled)
     return out
+
+
+def nll_bound(
+    params: Params,
+    x: jax.Array,
+    cfg: GlowConfig,
+    rng: jax.Array,
+    samples: int = 1,
+    bound: str = "elbo",
+    y_onehot: jax.Array | None = None,
+) -> jax.Array:
+    """Monte-Carlo DISCRETE-NLL bound in bits/dim, shape (B,).
+
+    `log_prob(rng=None)` (the reference lineage's eval convention) evaluates
+    the continuous density at the bin corner — fine for relative model
+    selection, but NOT a valid bound on the discrete likelihood P(x).  This
+    is the valid one, matching what flow papers report:
+
+      bound="elbo": mean over k noise draws of the per-draw dequantization
+                    bound (k=1 = the standard published protocol)
+      bound="iwae": logsumexp importance bound (Burda et al. 2016,
+                    arXiv:1509.00519) — tighter, approaches log P(x) as
+                    k grows; weights are p(x+u_i)·n_bins^{-D}/q(u_i), which
+                    is exactly `objective` for both uniform and variational
+                    q (the −log q term is already folded in).
+
+    Noise draws run under `lax.map` (sequential, one compiled body) so k
+    scales without k× activation memory.
+    """
+    assert bound in ("elbo", "iwae"), bound
+
+    def one(r):
+        return log_prob(params, x, cfg, rng=r, y_onehot=y_onehot)["objective"]
+
+    objs = jax.lax.map(one, jax.random.split(rng, samples))  # (k, B)
+    if bound == "iwae":
+        obj = jax.scipy.special.logsumexp(objs, axis=0) - jnp.log(float(samples))
+    else:
+        obj = jnp.mean(objs, axis=0)
+    dims = num_dims((x.shape[0], *cfg.image_shape))
+    return bits_per_dim(obj, dims)
 
 
 def sample(
@@ -509,7 +571,9 @@ def ddi_init(params: Params, x: jax.Array, cfg: GlowConfig) -> Params:
     batch statistics reduce globally, so all replicas get identical params.
     """
     _, _, _, new_levels = encode(params, x, cfg, ddi=True)
-    return {"levels": new_levels, "top": params["top"]}
+    # Preserve non-level param groups (top, vardeq, ...) — DDI only
+    # re-derives the actnorm statistics inside the levels.
+    return {**params, "levels": new_levels}
 
 
 def loss_fn(
@@ -525,6 +589,14 @@ def loss_fn(
     loss_gen = jnp.mean(out["nll"])
     metrics = {"nll": loss_gen}
     loss = loss_gen
+    if "neg_log_q" in out:
+        # bits/dim the learned q(u|x) charges for its noise (0 at init /
+        # under uniform q; the bound improves when the p-term gains more
+        # than this costs).
+        dims = num_dims((x.shape[0], *cfg.image_shape))
+        metrics["vardeq_logq_bits"] = -jnp.mean(out["neg_log_q"]) / (
+            jnp.log(2.0) * dims
+        )
     if cfg.y_condition:
         logits = out["y_logits"]
         if cfg.y_multi_class:

@@ -104,6 +104,23 @@ def test_infer_nll(trained, capsys):
     assert "bits/dim" in capsys.readouterr().out
 
 
+def test_infer_synthetic_flag(trained, capsys):
+    """infer.py --synthetic must route through resolve_profile's family map
+    (regression: the bare flag used to pass a bool and KeyError)."""
+    prof, out, root = trained
+    _run_infer(["nll", prof, "--synthetic", "--out-dir", out, "--batches", "1"])
+    assert "bits/dim" in capsys.readouterr().out
+
+
+def test_infer_nll_dequant_bound(trained, capsys):
+    """--dequant-samples N reports a VALID discrete-NLL bound (elbo/iwae)."""
+    prof, out, root = trained
+    _run_infer(["nll", prof, "--data-root", root, "--out-dir", out,
+                "--batches", "1", "--dequant-samples", "2", "--bound", "iwae"])
+    text = capsys.readouterr().out
+    assert "bits/dim" in text and "iwae bound, 2 noise draws" in text
+
+
 def test_infer_export_then_serve(trained, tmp_path):
     """export a trained checkpoint to a serving artifact, then serve from it
     with no profile/checkpoint access."""
