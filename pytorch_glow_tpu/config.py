@@ -113,6 +113,11 @@ class TrainConfig:
     # Polyak averaging of trainable params for eval/sampling (Glow paper
     # practice; 0 disables — the reference lineage has no EMA).
     ema_decay: float = 0.0
+    # Random horizontal flips during training (standard density-modelling
+    # augmentation for CIFAR/CelebA recipes; the reference lineage has no
+    # augmentation).  Applied INSIDE the jitted train step from the saved
+    # per-step rng — zero host cost, bitwise-reproducible across resume.
+    augment_flip: bool = False
     # Skip optimizer updates with non-finite grads, up to N consecutive
     # (optax.apply_if_finite; Glow-paper practice — affine-coupling scales
     # transiently saturate).  0 disables.  After N consecutive skips optax

@@ -95,11 +95,12 @@ def build(
             )
         train_step = steplib.make_train_step_n(
             g, tx, t.steps_per_call, ema_decay=t.ema_decay,
-            schedule=make_schedule(profile.optim),
+            schedule=make_schedule(profile.optim), augment_flip=t.augment_flip,
         )
     else:
         train_step = steplib.make_train_step(
-            g, tx, ema_decay=t.ema_decay, schedule=make_schedule(profile.optim)
+            g, tx, ema_decay=t.ema_decay, schedule=make_schedule(profile.optim),
+            augment_flip=t.augment_flip,
         )
     # Serving-path config: eval/sampling/reconstruction take the fused
     # flow-step kernel on TPU (ops/flowstep_pallas.py; +60% and a 10x

@@ -58,10 +58,12 @@ def make_train_step(
     tx: optax.GradientTransformation,
     ema_decay: float = 0.0,
     schedule=None,
+    augment_flip: bool = False,
 ):
     """Returns jitted (state, image_batch[, y_onehot]) -> (state, metrics)."""
     return jax.jit(
-        _make_train_step_fn(cfg, tx, ema_decay, schedule), donate_argnums=(0,)
+        _make_train_step_fn(cfg, tx, ema_decay, schedule, augment_flip),
+        donate_argnums=(0,),
     )
 
 
@@ -71,6 +73,7 @@ def make_train_step_n(
     n: int,
     ema_decay: float = 0.0,
     schedule=None,
+    augment_flip: bool = False,
 ):
     """N train steps chained in ONE jit dispatch via lax.fori_loop.
 
@@ -81,7 +84,7 @@ def make_train_step_n(
     calls of the single-step function.  Returns the final state and the
     last step's metrics.
     """
-    one = _make_train_step_fn(cfg, tx, ema_decay, schedule)
+    one = _make_train_step_fn(cfg, tx, ema_decay, schedule, augment_flip)
 
     def train_step_n(state: State, batches: jax.Array, y_onehot=None):
         def body(i, carry):
@@ -99,18 +102,27 @@ def make_train_step_n(
     return jax.jit(train_step_n, donate_argnums=(0,))
 
 
-def _make_train_step_fn(cfg, tx, ema_decay, schedule=None):
+def _make_train_step_fn(cfg, tx, ema_decay, schedule=None, augment_flip=False):
     """The un-jitted single-step body (shared by the jitted wrappers).
 
     `schedule`: optional step -> lr callable, logged as metrics["lr"] —
     every divergence forensic this round needed lr-at-step, so the loop
     reports it instead of leaving it to hand reconstruction.
+    `augment_flip`: per-image random horizontal flips, drawn in-jit from the
+    per-step rng (train-only; eval stays deterministic).
     """
 
     def train_step(state: State, batch: jax.Array, y_onehot=None):
         if batch.dtype == jnp.uint8:
             batch = glow.preprocess(batch, cfg)
         rng = jax.random.fold_in(state["rng"], state["step"])
+        if augment_flip:
+            # Distinct fold keeps the dequantization-noise stream identical
+            # to the unaugmented path (A/Bs differ only by the flips).
+            flip = jax.random.bernoulli(
+                jax.random.fold_in(rng, 0x_F11B), 0.5, (batch.shape[0],)
+            )
+            batch = jnp.where(flip[:, None, None, None], batch[:, :, ::-1, :], batch)
         trainable, frozen = partition(state["params"])
 
         def loss_on_trainable(tr):

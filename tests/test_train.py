@@ -367,3 +367,26 @@ def test_steps_per_call_identical_trajectory(tmp_path):
             np.asarray(leaf_a), np.asarray(lb[path]),
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_augment_flip_in_jit_deterministic_and_effective(tmp_path):
+    """augment_flip draws horizontal flips inside the jitted step from the
+    saved per-step rng: reruns are bitwise-identical (resume-stable), and
+    the flipped trajectory genuinely diverges from the unflipped one."""
+    import dataclasses
+
+    def run(flip, subdir):
+        p = micro_profile(tmp_path / subdir)
+        p = dataclasses.replace(
+            p, train=dataclasses.replace(p.train, augment_flip=flip, num_steps=6)
+        )
+        built = builderlib.build(p)
+        return trainerlib.train(built, quiet=True)
+
+    a = run(True, "a")
+    b = run(True, "b")
+    c = run(False, "c")
+    assert np.isfinite(a["loss"])
+    assert a["loss"] == b["loss"] and a["grad_norm"] == b["grad_norm"]
+    # Same seeds + same dequant-noise stream, only the flips differ:
+    assert a["loss"] != c["loss"]
