@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import itertools
+import json
 import os
 import sys
 
@@ -33,7 +34,8 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("op", choices=["sample", "recon", "delta", "manipulate",
-                                  "interpolate", "nll", "export", "serve"])
+                                  "interpolate", "nll", "report", "export",
+                                  "serve"])
     p.add_argument("profile",
                    help="profile JSON/preset (op=serve: the artifact directory)")
     p.add_argument("--batch-size", default="16",
@@ -210,6 +212,84 @@ def main(argv=None):
             if args.dequant_samples > 0 else "noise-free (bin corner)"
         )
         print(f"nll: {total / count:.4f} bits/dim over {count} images ({how})")
+        return
+
+    if args.op == "report":
+        # One-command model quality report: sample grids across a
+        # temperature ladder, exact-round-trip drift, latent interpolation,
+        # and all three NLL protocols, written to a directory with a
+        # machine-readable report.json.
+        from pytorch_glow_tpu.train.builder import _labels_to_onehot
+
+        out_dir = args.output or "report"
+        os.makedirs(out_dir, exist_ok=True)
+        report = {
+            "profile": prof.name,
+            "step": int(built.state["step"]),
+            "snapshot": "best" if args.best else "latest",
+            "ema": bool(args.ema),
+            "params_millions": round(
+                sum(p.size for p in jax.tree.leaves(params)) / 1e6, 3
+            ),
+            "image_shape": list(prof.glow.image_shape),
+            "temperatures": [0.25, 0.5, 0.7, 1.0],
+        }
+
+        y0 = _labels_to_onehot(batch, prof)
+        for t_ in report["temperatures"]:
+            imgs = inferer.sample(
+                args.num, temperature=t_,
+                rng=jax.random.fold_in(rng, int(t_ * 100)),
+                y_onehot=None if y0 is None else y0[: args.num],
+            )
+            save_image_grid(os.path.join(out_dir, f"samples_t{t_:.2f}.png"), imgs)
+
+        imgs = np.asarray(batch["image"])[: args.num]
+        rec = inferer.reconstruct(imgs)
+        interleaved = np.stack([imgs, rec], 1).reshape(-1, *imgs.shape[1:])
+        save_image_grid(os.path.join(out_dir, "recon.png"), interleaved, ncol=2)
+        drift = np.abs(imgs.astype(np.int16) - rec.astype(np.int16))
+        report["recon_drift_u8"] = {
+            "max": int(drift.max()),
+            "mean": float(drift.mean()),
+            "frac_gt_1_bin": float((drift > 1).mean()),
+        }
+
+        interp = inferer.interpolate(imgs[0], imgs[1], steps=args.steps)
+        save_image_grid(os.path.join(out_dir, "interpolate.png"), interp,
+                        ncol=args.steps)
+
+        sums = {"corner": 0.0, "elbo1": 0.0, "iwae8": 0.0}
+        count = 0
+        it = itertools.chain([batch], built.data)
+        for bi, b in enumerate(itertools.islice(it, args.batches)):
+            x = np.asarray(b["image"])
+            y = _labels_to_onehot(b, prof)
+            r = jax.random.fold_in(jax.random.key(args.seed), bi)
+            sums["corner"] += float(inferer.nll(x, y).sum())
+            sums["elbo1"] += float(
+                inferer.nll_bound(x, samples=1, bound="elbo", rng=r, y_onehot=y).sum()
+            )
+            sums["iwae8"] += float(
+                inferer.nll_bound(x, samples=8, bound="iwae", rng=r, y_onehot=y).sum()
+            )
+            count += x.shape[0]
+        report["bits_dim"] = {
+            "noise_free_corner": sums["corner"] / count,
+            "elbo_1draw": sums["elbo1"] / count,
+            "iwae_8draw": sums["iwae8"] / count,
+            "eval_images": count,
+        }
+
+        with open(os.path.join(out_dir, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        print(
+            f"wrote {out_dir}/report.json: step {report['step']}, "
+            f"elbo {report['bits_dim']['elbo_1draw']:.4f} bits/dim "
+            f"(iwae8 {report['bits_dim']['iwae_8draw']:.4f}), recon drift "
+            f"max {report['recon_drift_u8']['max']} bins; "
+            f"{2 + len(report['temperatures'])} image sheets"
+        )
         return
 
 

@@ -208,3 +208,22 @@ def test_train_sigterm_preempts_cleanly_and_resumes(tmp_path):
                          "--steps", str(stopped + 2)])
     assert r2["final_step"] == stopped + 2
     assert "preempted" not in r2
+
+
+def test_infer_report(trained, tmp_path, capsys):
+    """One-command quality report: temperature-ladder sample sheets, exact
+    round-trip drift, interpolation, and all three NLL protocols."""
+    prof, out, root = trained
+    rep = str(tmp_path / "report")
+    _run_infer(["report", prof, "--data-root", root, "--out-dir", out,
+                "--batches", "1", "-n", "2", "--steps", "3", "-o", rep])
+    assert "report.json" in capsys.readouterr().out
+    with open(os.path.join(rep, "report.json")) as f:
+        r = json.load(f)
+    assert set(r["bits_dim"]) == {
+        "noise_free_corner", "elbo_1draw", "iwae_8draw", "eval_images"
+    }
+    assert np.isfinite(r["bits_dim"]["elbo_1draw"])
+    assert r["recon_drift_u8"]["max"] <= 1  # f32 path: exact round-trip
+    for name in ("recon.png", "interpolate.png", "samples_t0.70.png"):
+        assert os.path.getsize(os.path.join(rep, name)) > 0

@@ -222,3 +222,43 @@ def test_cli_import_export_e2e(tmp_path, capsys):
                     "--batches", "1"])
     nll_b = capsys.readouterr().out
     assert "bits/dim" in nll_a and nll_a == nll_b
+
+
+def test_cli_export_ema_params(tmp_path, capsys):
+    """--ema exports the Polyak-averaged trainables, not the live params."""
+    import numpy as np
+    import train as train_cli
+    import torch_migrate as cli
+
+    out = str(tmp_path / "out")
+    prof_path = str(tmp_path / "p.json")
+    with open(prof_path, "w") as f:
+        json.dump(
+            {
+                "name": "ema",
+                "glow": {"image_shape": [8, 8, 3], "hidden_channels": 16,
+                          "K": 2, "L": 2},
+                "train": {"batch_size": 8, "num_steps": 4, "scalar_log_gap": 4,
+                           "plot_gap": 0, "checkpoint_gap": 2,
+                           "num_sample_images": 4, "ema_decay": 0.5},
+                "data": {"name": "synthetic", "image_size": 8},
+            },
+            f,
+        )
+    train_cli.main([prof_path, "--out-dir", out, "--quiet"])
+
+    live_pth = str(tmp_path / "live.pth")
+    ema_pth = str(tmp_path / "ema.pth")
+    cli.main(["export", prof_path, "--out-dir", out, "-o", live_pth])
+    cli.main(["export", prof_path, "--out-dir", out, "-o", ema_pth, "--ema"])
+    capsys.readouterr()
+
+    sd_live, _ = tm.load_torch_snapshot(live_pth)
+    sd_ema, _ = tm.load_torch_snapshot(ema_pth)
+    assert sd_live.keys() == sd_ema.keys()
+    # EMA trainables differ from live after 4 steps of decay-0.5 averaging:
+    diffs = [
+        k for k in sd_live
+        if not np.array_equal(sd_live[k].numpy(), sd_ema[k].numpy())
+    ]
+    assert diffs, "EMA export identical to live params"
