@@ -361,6 +361,13 @@ def make_dataset(
                 f"'{data_cfg.name}' under root='{data_cfg.root}'"
             )
 
+    # tfds-prepared TFRecord shards (any dataset name; pure-Python reader).
+    from pytorch_glow_tpu.data import tfrecord
+
+    it = tfrecord.tfds_batches(data_cfg, glow_cfg, train_cfg, split)
+    if it is not None:
+        return it
+
     if data_cfg.name == "imagenet64":
         loaded = load_imagenet_npz(data_cfg.root, data_cfg.image_size, split)
         if loaded is not None:

@@ -1,0 +1,292 @@
+"""tfds-on-disk TFRecord reading — pure Python, O(1)-resumable.
+
+The north-star datasets (CIFAR-10, downsampled ImageNet) commonly arrive as
+`tensorflow_datasets`-prepared directories of TFRecord shards.  This module
+reads that layout with NO TensorFlow dependency on the production path: the
+TFRecord framing is a trivial length-prefixed container, and tf.train.Example
+is a three-level protobuf parsed here with a ~60-line wire-format walker.
+(TensorFlow is used only by the tests, to GENERATE fixture shards.)
+
+Design (matches data/pipeline.py):
+* One up-front pass over each shard builds an (offset, length) record index;
+  after that every record is random-access (seek + read), so batches are
+  index-addressable and resume state is the single IndexedBatches integer.
+* Epoch shuffles derive from (seed, epoch) like array_batches; under
+  `jax.process_count() > 1` each process reads only its rows of the global
+  batch (disjoint reads, same contract as the Grain path).
+* CRC32C record checksums are not verified (no crc32c in the stdlib);
+  corrupt shards surface as protobuf/decode errors instead of silent data.
+
+Reference has no counterpart (PIL folder datasets only, SURVEY.md §2.1 #4);
+this is production-data plumbing for the real-data north star
+(docs/REAL_DATA.md).
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import io
+import os
+import struct
+
+import numpy as np
+
+from pytorch_glow_tpu.config import DataConfig, GlowConfig, TrainConfig
+
+# ---------------------------------------------------------------------------
+# TFRecord container framing
+# ---------------------------------------------------------------------------
+
+_HEADER = struct.Struct("<QI")  # u64 payload length + u32 masked-crc(length)
+
+
+def index_tfrecord(path: str) -> list[tuple[int, int]]:
+    """One streaming pass -> [(payload_offset, payload_length), ...]."""
+    out: list[tuple[int, int]] = []
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = 0
+        while pos < size:
+            header = f.read(_HEADER.size)
+            if len(header) < _HEADER.size:
+                raise ValueError(f"{path}: truncated record header at {pos}")
+            (length, _len_crc) = _HEADER.unpack(header)
+            payload_off = pos + _HEADER.size
+            out.append((payload_off, length))
+            pos = payload_off + length + 4  # + payload crc32c
+            f.seek(pos)
+    return out
+
+
+def read_record(f, offset: int, length: int) -> bytes:
+    f.seek(offset)
+    return f.read(length)
+
+
+# ---------------------------------------------------------------------------
+# Minimal tf.train.Example wire-format parser
+# ---------------------------------------------------------------------------
+#
+# Example       { Features features = 1; }
+# Features      { map<string, Feature> feature = 1; }   (repeated MapEntry)
+# MapEntry      { string key = 1; Feature value = 2; }
+# Feature       { BytesList = 1 | FloatList = 2 | Int64List = 3 }
+# BytesList     { repeated bytes value = 1; }
+# FloatList     { repeated float value = 1 [packed]; }
+# Int64List     { repeated int64 value = 1 [packed]; }
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _walk(buf: bytes):
+    """Yield (field_number, wire_type, value) over one message's fields.
+    value: int for varint, bytes for length-delimited, bytes for 32/64-bit."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wire == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:  # 32-bit
+            val = buf[pos : pos + 4]
+            pos += 4
+        elif wire == 1:  # 64-bit
+            val = buf[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+        yield field, wire, val
+
+
+def _parse_feature(buf: bytes):
+    """Feature message -> list of bytes / floats / ints."""
+    for field, wire, val in _walk(buf):
+        if field == 1:  # BytesList
+            return [v for f2, _, v in _walk(val) if f2 == 1]
+        if field == 2:  # FloatList
+            floats: list[float] = []
+            for f2, w2, v in _walk(val):
+                if f2 != 1:
+                    continue
+                if w2 == 2:  # packed
+                    floats.extend(struct.unpack(f"<{len(v) // 4}f", v))
+                else:  # unpacked 32-bit
+                    floats.append(struct.unpack("<f", v)[0])
+            return floats
+        if field == 3:  # Int64List
+            ints: list[int] = []
+            for f2, w2, v in _walk(val):
+                if f2 != 1:
+                    continue
+                if w2 == 2:  # packed varints
+                    p = 0
+                    while p < len(v):
+                        x, p = _read_varint(v, p)
+                        ints.append(x - (1 << 64) if x >= 1 << 63 else x)
+                else:
+                    ints.append(v - (1 << 64) if v >= 1 << 63 else v)
+            return ints
+    return []
+
+
+def parse_example(payload: bytes) -> dict[str, list]:
+    """Serialized tf.train.Example -> {feature_name: values}."""
+    out: dict[str, list] = {}
+    for field, _, val in _walk(payload):
+        if field != 1:  # Features
+            continue
+        for f2, _, entry in _walk(val):
+            if f2 != 1:  # map entry
+                continue
+            key = None
+            feature: list = []
+            for f3, _, v in _walk(entry):
+                if f3 == 1:
+                    key = v.decode("utf-8")
+                elif f3 == 2:
+                    feature = _parse_feature(v)
+            if key is not None:
+                out[key] = feature
+    return out
+
+
+# ---------------------------------------------------------------------------
+# tfds-layout dataset -> IndexedBatches
+# ---------------------------------------------------------------------------
+
+
+class _ShardSet:
+    """Random access over the concatenated records of shard files."""
+
+    def __init__(self, paths: list[str]):
+        self.paths = sorted(paths)
+        self._index: list[tuple[int, int, int]] = []  # (file_i, offset, length)
+        for fi, p in enumerate(self.paths):
+            self._index.extend((fi, off, ln) for off, ln in index_tfrecord(p))
+        self._files: dict[int, io.BufferedReader] = {}
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def read(self, i: int) -> bytes:
+        fi, off, ln = self._index[i]
+        f = self._files.get(fi)
+        if f is None:
+            f = self._files[fi] = open(self.paths[fi], "rb")
+        return read_record(f, off, ln)
+
+
+def find_tfds_shards(root: str, name: str, split: str) -> list[str]:
+    """tfds naming: <root>/[**/]<name>-<split>.tfrecord-NNNNN-of-NNNNN.
+    Also accepts generic <split>*.tfrecord* for hand-rolled shard dirs."""
+    if not root or not os.path.isdir(root):
+        return []
+    # Fixed-depth globs only (tfds nests <root>/<name>/<version>/shards):
+    # a recursive ** walk would scan e.g. a 200k-file CelebA tree on every
+    # make_dataset call for nothing.
+    for pat in (f"{name}-{split}.tfrecord*", f"{split}*.tfrecord*"):
+        for depth in range(3):
+            hits = globlib.glob(os.path.join(root, *([ "*" ] * depth), pat))
+            if hits:
+                return sorted(hits)
+    return []
+
+
+def _decode_image(values: list, size: int) -> np.ndarray:
+    """tfds "image" feature: encoded PNG/JPEG bytes.  Resized (bilinear,
+    short-side then center-crop, matching data/celeba.py) when the on-disk
+    resolution differs from the profile's."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(values[0]))
+    img = img.convert("RGB")
+    if img.size != (size, size):
+        w, h = img.size
+        scale = size / min(w, h)
+        img = img.resize((max(size, round(w * scale)), max(size, round(h * scale))),
+                         Image.BILINEAR)
+        w, h = img.size
+        left, top = (w - size) // 2, (h - size) // 2
+        img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img, dtype=np.uint8)
+
+
+def tfds_batches(
+    data_cfg: DataConfig,
+    glow_cfg: GlowConfig,
+    train_cfg: TrainConfig,
+    split: str = "train",
+):
+    """IndexedBatches over a tfds-prepared TFRecord directory, or None when
+    `data_cfg.root` holds no matching shards.  Train split: epoch-shuffled,
+    infinite; test split: one deterministic pass."""
+    from pytorch_glow_tpu.data.pipeline import (
+        IndexedBatches, _proc_slice, _process_rows, epoch_permutation,
+    )
+
+    tfds_split = {"train": "train", "test": "test"}.get(split, split)
+    paths = find_tfds_shards(data_cfg.root, data_cfg.name, tfds_split)
+    if not paths and split == "test":  # tfds cifar10 names it "test"; others "validation"
+        paths = find_tfds_shards(data_cfg.root, data_cfg.name, "validation")
+    if not paths:
+        return None
+    shards = _ShardSet(paths)
+    n = len(shards)
+    bs = train_cfg.batch_size
+    if n < bs:
+        raise ValueError(
+            f"tfds dataset under {data_cfg.root} has {n} records < "
+            f"batch_size {bs}"
+        )
+    size = data_cfg.image_size
+    bpe = n // bs  # drop remainder
+    shuffle = split == "train"
+    seed = train_cfg.seed
+    pidx, pcount = _proc_slice()
+    lo, hi = _process_rows(bs, pidx, pcount)
+
+    def batch_at(i: int):
+        epoch, k = divmod(i, bpe)
+        if split != "train" and epoch >= 1:
+            return None
+        order = epoch_permutation(seed, epoch, n, shuffle)
+        idx = order[k * bs : (k + 1) * bs]
+        if pcount > 1:
+            idx = idx[lo:hi]
+        images, labels = [], []
+        has_label = True
+        for j in idx:
+            ex = parse_example(shards.read(int(j)))
+            if "image" not in ex:
+                raise ValueError(
+                    f"record {j} has no 'image' feature (keys: {sorted(ex)})"
+                )
+            images.append(_decode_image(ex["image"], size))
+            if "label" in ex and ex["label"]:
+                labels.append(int(ex["label"][0]))
+            else:
+                has_label = False
+        batch = {"image": np.stack(images)}
+        if has_label and labels:
+            batch["label"] = np.asarray(labels, np.int64)
+        return batch
+
+    print(
+        f"[data] tfds TFRecords: {len(paths)} shard(s), {n} records "
+        f"({data_cfg.name}/{tfds_split}) under {data_cfg.root}"
+    )
+    return IndexedBatches(batch_at)

@@ -1,0 +1,134 @@
+"""tfds-on-disk TFRecord reader (data/tfrecord.py): the pure-Python parser
+against REAL TensorFlow-written shards (TF generates fixtures only; the
+production path is TF-free)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pytorch_glow_tpu.config import DataConfig, GlowConfig, TrainConfig
+from pytorch_glow_tpu.data import pipeline, tfrecord
+
+tf = pytest.importorskip("tensorflow")
+
+
+N_TRAIN, N_TEST, SIZE = 48, 16, 8
+
+
+@pytest.fixture(scope="module")
+def tfds_root(tmp_path_factory):
+    """A tfds-style directory: <root>/cifar10-<split>.tfrecord-0000N-of-0000N
+    with PNG "image" bytes + int64 "label" (the tfds cifar10 schema)."""
+    root = tmp_path_factory.mktemp("tfds")
+    rng = np.random.default_rng(0)
+
+    def write(split, n, shards):
+        per = n // shards
+        k = 0
+        for s in range(shards):
+            name = f"cifar10-{split}.tfrecord-{s:05d}-of-{shards:05d}"
+            with tf.io.TFRecordWriter(str(root / name)) as w:
+                for _ in range(per):
+                    img = rng.integers(0, 256, (SIZE, SIZE, 3), np.uint8)
+                    ex = tf.train.Example(features=tf.train.Features(feature={
+                        "image": tf.train.Feature(bytes_list=tf.train.BytesList(
+                            value=[tf.io.encode_png(img).numpy()])),
+                        "label": tf.train.Feature(int64_list=tf.train.Int64List(
+                            value=[k % 10])),
+                        "id": tf.train.Feature(bytes_list=tf.train.BytesList(
+                            value=[f"ex{k}".encode()])),
+                    }))
+                    w.write(ex.SerializeToString())
+                    k += 1
+
+    write("train", N_TRAIN, shards=2)
+    write("test", N_TEST, shards=1)
+    return str(root)
+
+
+def _cfgs(root, bs=8):
+    return (
+        DataConfig(name="cifar10", root=root, image_size=SIZE),
+        GlowConfig(image_shape=(SIZE, SIZE, 3), hidden_channels=16, K=2, L=2),
+        TrainConfig(batch_size=bs, seed=0),
+    )
+
+
+def test_parse_example_matches_tf_writer(tfds_root):
+    paths = tfrecord.find_tfds_shards(tfds_root, "cifar10", "train")
+    assert len(paths) == 2
+    idx = tfrecord.index_tfrecord(paths[0])
+    assert len(idx) == N_TRAIN // 2
+    with open(paths[0], "rb") as f:
+        ex = tfrecord.parse_example(tfrecord.read_record(f, *idx[0]))
+    assert set(ex) == {"image", "label", "id"}
+    assert ex["id"] == [b"ex0"] and ex["label"] == [0]
+    img = np.asarray(tf.io.decode_png(ex["image"][0]))
+    assert img.shape == (SIZE, SIZE, 3)
+
+
+def test_tfds_batches_cover_epoch_and_resume(tfds_root):
+    d, g, t = _cfgs(tfds_root)
+    it = tfrecord.tfds_batches(d, g, t, "train")
+    seen_labels = []
+    for _ in range(N_TRAIN // t.batch_size):  # one epoch
+        b = next(it)
+        assert b["image"].shape == (8, SIZE, SIZE, 3)
+        assert b["image"].dtype == np.uint8
+        seen_labels.extend(b["label"].tolist())
+    assert len(seen_labels) == N_TRAIN  # full epoch, no repeats dropped
+
+    # O(1) resume: a fresh iterator set to the same state yields the
+    # identical next batch.
+    state = it.get_state()
+    nxt = next(it)
+    it2 = tfrecord.tfds_batches(d, g, t, "train")
+    it2.set_state(state)
+    nxt2 = next(it2)
+    assert np.array_equal(nxt["image"], nxt2["image"])
+    assert np.array_equal(nxt["label"], nxt2["label"])
+
+
+def test_tfds_test_split_is_one_deterministic_pass(tfds_root):
+    d, g, t = _cfgs(tfds_root)
+    it = tfrecord.tfds_batches(d, g, t, "test")
+    batches = list(it)
+    assert len(batches) == N_TEST // t.batch_size
+    it2 = tfrecord.tfds_batches(d, g, t, "test")
+    assert np.array_equal(batches[0]["image"], next(it2)["image"])
+
+
+def test_make_dataset_routes_to_tfrecords(tfds_root, capsys):
+    d, g, t = _cfgs(tfds_root)
+    it = pipeline.make_dataset(d, g, t)
+    assert "tfds TFRecords" in capsys.readouterr().out
+    b = next(it)
+    assert b["image"].shape == (8, SIZE, SIZE, 3)
+
+
+def test_train_end_to_end_on_tfrecords(tfds_root, tmp_path):
+    from pytorch_glow_tpu.config import OptimConfig, Profile
+    from pytorch_glow_tpu.train import builder as builderlib
+    from pytorch_glow_tpu.train import trainer as trainerlib
+
+    p = Profile(
+        name="tfr",
+        glow=GlowConfig(image_shape=(SIZE, SIZE, 3), hidden_channels=16, K=2, L=2),
+        optim=OptimConfig(lr=1e-3, warmup_steps=4),
+        train=TrainConfig(batch_size=8, num_steps=4, scalar_log_gap=4,
+                          plot_gap=0, checkpoint_gap=0, num_sample_images=4),
+        data=DataConfig(name="cifar10", root=tfds_root, image_size=SIZE),
+        out_dir=str(tmp_path),
+    )
+    r = trainerlib.train(builderlib.build(p), quiet=True)
+    assert r["final_step"] == 4 and np.isfinite(r["loss"])
+
+
+def test_resize_and_crop_when_sizes_differ(tfds_root):
+    # Profile wants 6x6 from 8x8 shards: short-side resize + center crop.
+    d = DataConfig(name="cifar10", root=tfds_root, image_size=6)
+    g = GlowConfig(image_shape=(6, 6, 3), hidden_channels=16, K=2, L=1)
+    t = TrainConfig(batch_size=8, seed=0)
+    b = next(tfrecord.tfds_batches(d, g, t, "train"))
+    assert b["image"].shape == (8, 6, 6, 3)
