@@ -67,6 +67,9 @@ def parse_args(argv=None):
                         "per-draw bounds (elbo) or the tighter logsumexp "
                         "importance bound (iwae)")
     p.add_argument("--steps", type=int, default=8, help="interpolation steps")
+    p.add_argument("--class-id", type=int, default=None,
+                   help="op=sample on a y-conditional profile: sample this "
+                        "class (one-hot prior shift); default unconditional")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ema", action="store_true",
                    help="use EMA (Polyak-averaged) params if the snapshot has them")
@@ -144,9 +147,20 @@ def main(argv=None):
     rng = jax.random.key(args.seed)
 
     if args.op == "sample":
-        imgs = inferer.sample(args.num, temperature=args.temperature, rng=rng)
+        y = None
+        if args.class_id is not None:
+            if not prof.glow.y_condition:
+                sys.exit("error: --class-id requires a y-conditional profile")
+            import jax.numpy as jnp
+
+            y = jax.nn.one_hot(
+                jnp.full((args.num,), args.class_id), prof.glow.y_classes
+            )
+        imgs = inferer.sample(args.num, temperature=args.temperature, rng=rng,
+                              y_onehot=y)
         save_image_grid(args.output, imgs)
-        print(f"wrote {args.output} ({args.num} samples @ T={args.temperature})")
+        cls = f", class {args.class_id}" if y is not None else ""
+        print(f"wrote {args.output} ({args.num} samples @ T={args.temperature}{cls})")
         return
 
     batch = next(built.data)

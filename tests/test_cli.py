@@ -227,3 +227,37 @@ def test_infer_report(trained, tmp_path, capsys):
     assert r["recon_drift_u8"]["max"] <= 1  # f32 path: exact round-trip
     for name in ("recon.png", "interpolate.png", "samples_t0.70.png"):
         assert os.path.getsize(os.path.join(rep, name)) > 0
+
+
+def test_infer_sample_class_conditional(tmp_path, capsys):
+    """--class-id samples a chosen class via the one-hot prior shift on a
+    y-conditional profile; on an unconditional profile it errors loudly."""
+    out = str(tmp_path)
+    prof_path = os.path.join(out, "yc.json")
+    with open(prof_path, "w") as f:
+        json.dump(
+            {
+                "name": "yc",
+                "glow": {"image_shape": [8, 8, 3], "hidden_channels": 16,
+                          "K": 2, "L": 2, "y_condition": True,
+                          "y_classes": 4, "y_multi_class": False},
+                "train": {"batch_size": 8, "num_steps": 2, "scalar_log_gap": 2,
+                           "plot_gap": 0, "checkpoint_gap": 2,
+                           "num_sample_images": 4},
+                "data": {"name": "synthetic", "image_size": 8},
+            },
+            f,
+        )
+    train_cli.main([prof_path, "--out-dir", out, "--quiet"])
+    png = str(tmp_path / "c.png")
+    _run_infer(["sample", prof_path, "-n", "2", "--class-id", "3",
+                "--out-dir", out, "-o", png])
+    assert "class 3" in capsys.readouterr().out
+    assert os.path.getsize(png) > 0
+
+
+def test_infer_sample_class_id_rejected_unconditional(trained, tmp_path):
+    prof, out, root = trained
+    with pytest.raises(SystemExit):
+        _run_infer(["sample", prof, "-n", "2", "--class-id", "1",
+                    "--out-dir", out, "-o", str(tmp_path / "x.png")])
