@@ -24,6 +24,7 @@ batch_size="dynamic" — one artifact then serves any batch size):
     decode(z f32, seed, temperature)            -> uint8 images
     reconstruct(x u8)                           -> uint8 images (exact z path)
     nll(x u8)                                   -> f32[B] bits/dim
+    nll_elbo(x u8, seed u32[])                  -> f32[B] (VALID 1-draw bound)
     nll_y(x u8, labels i32[B])                  -> f32[B]        (y-cond only)
 
 By default the artifact is exported from the portable XLA flow-step path
@@ -99,12 +100,20 @@ def _serving_fns(params, cfg, batch_size):
     def nll(x):
         return glow.log_prob(params, glow.preprocess(x, cfg), cfg)["nll"]
 
+    def nll_elbo(x, seed):
+        # The VALID single-draw discrete-NLL bound (the published eval
+        # protocol; glow.nll_bound) — final bits/dim claims can be produced
+        # on model-code-free serving hosts.
+        return glow.nll_bound(params, glow.preprocess(x, cfg), cfg,
+                              jax.random.key(seed), samples=1, bound="elbo")
+
     fns = {
         "sample": (sample, (n_spec, seed_spec, temp_spec)),
         "encode": (encode, (x_spec,)),
         "decode": (decode, (z_spec, seed_spec, temp_spec)),
         "reconstruct": (reconstruct, (x_spec,)),
         "nll": (nll, (x_spec,)),
+        "nll_elbo": (nll_elbo, (x_spec, seed_spec)),
     }
 
     if cfg.y_condition:
@@ -346,6 +355,14 @@ class ServedModel:
         if labels is not None:
             return np.asarray(self.fn("nll_y")(x, jnp.asarray(labels, jnp.int32)))
         return np.asarray(self.fn("nll")(x))
+
+    def nll_elbo(self, images, seed: int = 0) -> np.ndarray:
+        """Valid single-draw discrete-NLL bound (the published protocol)."""
+        import jax.numpy as jnp
+
+        return np.asarray(
+            self.fn("nll_elbo")(jnp.asarray(images, jnp.uint8), jnp.uint32(seed))
+        )
 
 
 def load_artifact(path: str) -> ServedModel:

@@ -112,6 +112,13 @@ def do_import(args) -> None:
 
     out_dir = os.path.join(prof.out_dir, prof.name)
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"), keep=t.keep_checkpoints)
+    latest = ckpt.latest_step()
+    if latest is not None:
+        print(
+            f"[import] warning: {out_dir}/checkpoints already has step "
+            f"{latest}; build() restores the HIGHEST step — the import lands "
+            f"at step {step}", file=sys.stderr,
+        )
     ckpt.save(step, state, wait=True)
     n_params = sum(p.size for p in jax.tree.leaves(state["params"]))
     print(

@@ -44,7 +44,7 @@ def test_manifest(artifact):
     assert on_disk == manifest
     assert manifest["batch_size"] == B
     assert set(manifest["functions"]) == {
-        "sample", "encode", "decode", "reconstruct", "nll"}
+        "sample", "encode", "decode", "reconstruct", "nll", "nll_elbo"}
     for name, meta in manifest["functions"].items():
         blob = os.path.join(out, f"{name}.jaxexport")
         assert os.path.getsize(blob) == meta["bytes"] > 0
@@ -78,6 +78,15 @@ def test_served_encode_decode_nll_match_live(tiny, artifact):
     nll_live = np.asarray(glow.log_prob(
         params, glow.preprocess(jnp.asarray(x), cfg), cfg)["nll"])
     np.testing.assert_allclose(nll, nll_live, rtol=1e-6)
+
+    # The VALID 1-draw ELBO bound serves too: deterministic under a fixed
+    # seed and matching the live glow.nll_bound with the same key.
+    b1 = m.nll_elbo(x, seed=5)
+    assert np.array_equal(b1, m.nll_elbo(x, seed=5))
+    live = np.asarray(glow.nll_bound(
+        params, glow.preprocess(jnp.asarray(x), cfg), cfg,
+        jax.random.key(np.uint32(5)), samples=1, bound="elbo"))
+    np.testing.assert_allclose(b1, live, rtol=1e-6)
 
 
 def test_served_reconstruct_roundtrip(artifact):
