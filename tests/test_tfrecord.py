@@ -132,3 +132,22 @@ def test_resize_and_crop_when_sizes_differ(tfds_root):
     t = TrainConfig(batch_size=8, seed=0)
     b = next(tfrecord.tfds_batches(d, g, t, "train"))
     assert b["image"].shape == (8, 6, 6, 3)
+
+
+def test_multiprocess_rows_are_disjoint_and_cover_batch(tfds_root, monkeypatch):
+    """Under jax.process_count()==2 each process reads only its rows of the
+    global batch; together they reproduce the single-process batch exactly
+    (same contract as the Grain path)."""
+    d, g, t = _cfgs(tfds_root)
+    full = next(tfrecord.tfds_batches(d, g, t, "train"))
+
+    parts = []
+    for pidx in (0, 1):
+        monkeypatch.setattr(pipeline, "_proc_slice", lambda p=pidx: (p, 2))
+        it = tfrecord.tfds_batches(d, g, t, "train")
+        parts.append(next(it))
+    assembled = np.concatenate([parts[0]["image"], parts[1]["image"]])
+    assert parts[0]["image"].shape[0] == t.batch_size // 2
+    assert np.array_equal(assembled, full["image"])
+    labels = np.concatenate([parts[0]["label"], parts[1]["label"]])
+    assert np.array_equal(labels, full["label"])
