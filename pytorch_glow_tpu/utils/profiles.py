@@ -64,9 +64,126 @@ def profile_from_dict(d: dict[str, Any]) -> Profile:
     return base.replace(**kwargs)
 
 
+# ---------------------------------------------------------------------------
+# Reference-lineage profile format (auto-detected, converted transparently)
+# ---------------------------------------------------------------------------
+#
+# The reference parameterizes runs with capitalized-section hparams JSONs
+# (upstream:profile/*.json — sections Glow/Data/Optim/Train/Device/Infer/Dir;
+# SURVEY.md §2.1 #3).  `load_profile` detects that shape and converts it so
+# `train.py their_profile.json` works unchanged for a switching user.  Key
+# names are [M]-confidence recall (the reference mount is empty, SURVEY.md
+# §0); keys with no equivalent here (Device lists, Infer, Dir subkeys) are
+# reported and dropped, not fatal — unlike our native format, which stays
+# typo-strict.
+
+
+def is_lineage_profile(d: dict[str, Any]) -> bool:
+    return "Glow" in d and "glow" not in d
+
+
+def convert_lineage_profile(d: dict[str, Any], name: str = "imported") -> dict[str, Any]:
+    """Reference-lineage hparams dict -> our profile dict."""
+    dropped: list[str] = []
+
+    def take(section: dict, mapping: dict[str, str], out: dict, prefix: str):
+        for src, val in section.items():
+            if src in mapping:
+                out[mapping[src]] = val
+            else:
+                dropped.append(f"{prefix}.{src}")
+
+    out: dict[str, Any] = {"name": name}
+    glow: dict[str, Any] = {}
+    take(d.get("Glow", {}), {
+        "image_shape": "image_shape", "hidden_channels": "hidden_channels",
+        "K": "K", "L": "L", "actnorm_scale": "actnorm_scale",
+        "flow_permutation": "flow_permutation", "flow_coupling": "flow_coupling",
+        "LU_decomposed": "lu_decomposed", "learn_top": "learn_top",
+        "y_condition": "y_condition", "y_classes": "y_classes",
+        "n_bits_x": "n_bits_x", "weight_y": "weight_y",
+    }, glow, "Glow")
+    shape = glow.get("image_shape")
+    if shape and len(shape) == 3 and shape[0] in (1, 3) and shape[2] not in (1, 3):
+        glow["image_shape"] = [shape[1], shape[2], shape[0]]  # CHW -> HWC
+    crit = d.get("Criterion", {})
+    if "y_condition" in crit:
+        glow["y_multi_class"] = "multi" in str(crit["y_condition"])
+    out["glow"] = glow
+
+    data: dict[str, Any] = {}
+    take(d.get("Data", {}), {
+        "dataset": "name", "dataset_root": "root", "root": "root",
+        "num_workers": "num_workers",
+    }, data, "Data")
+    if glow.get("image_shape"):
+        data.setdefault("image_size", glow["image_shape"][0])
+    out["data"] = data
+
+    optim: dict[str, Any] = {}
+    osec = dict(d.get("Optim", {}))
+    if "name" in osec:
+        optim["name"] = osec.pop("name")
+    args = osec.pop("args", {})
+    for src, dst in (("lr", "lr"), ("betas", "betas"), ("eps", "eps")):
+        if src in args:
+            optim[dst] = args[src]
+    sched = osec.pop("Schedule", osec.pop("schedule", {})) or {}
+    sname = str(sched.get("name", ""))
+    if "noam" in sname:
+        optim["schedule"] = "noam"
+    elif "constant" in sname:
+        optim["schedule"] = "constant"
+    elif sname:
+        optim["schedule"] = "warmup"
+    sargs = sched.get("args", {})
+    for k in ("warmup_steps", "warmup"):
+        if k in sargs:
+            optim["warmup_steps"] = int(sargs[k])
+    dropped.extend(f"Optim.{k}" for k in osec)
+    out["optim"] = optim
+
+    train: dict[str, Any] = {}
+    take(d.get("Train", {}), {
+        "batch_size": "batch_size", "num_batches": "num_steps",
+        "num_steps": "num_steps", "max_grad_clip": "max_grad_clip",
+        "max_grad_norm": "max_grad_norm", "scalar_log_gap": "scalar_log_gap",
+        "plot_gap": "plot_gap", "checkpoint_gap": "checkpoint_gap",
+        "max_checkpoints": "keep_checkpoints",
+        "num_plot_samples": "num_sample_images",
+    }, train, "Train")
+    for k in ("max_grad_clip", "max_grad_norm"):
+        if train.get(k) is None and k in train:
+            train[k] = 0.0  # lineage null = disabled
+    out["train"] = train
+
+    dirsec = d.get("Dir", {})
+    if "log_root" in dirsec:
+        out["out_dir"] = dirsec["log_root"]
+        dropped.extend(f"Dir.{k}" for k in dirsec if k != "log_root")
+    else:
+        dropped.extend(f"Dir.{k}" for k in dirsec)
+    dropped.extend(
+        f"{sec}.*" for sec in ("Device", "Infer") if sec in d
+    )
+    if dropped:
+        print(
+            f"[profile] reference-lineage format converted; no equivalent "
+            f"for: {', '.join(sorted(dropped))} (Device lists are replaced "
+            f"by the GSPMD mesh; see docs/PARITY.md)"
+        )
+    return out
+
+
 def load_profile(path: str) -> Profile:
+    import os
+
     with open(path) as f:
-        return profile_from_dict(json.load(f))
+        d = json.load(f)
+    if is_lineage_profile(d):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        d = convert_lineage_profile(d, name=stem)
+    return profile_from_dict(d)
 
 
 def profile_to_dict(p: Profile) -> dict[str, Any]:

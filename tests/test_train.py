@@ -390,3 +390,52 @@ def test_augment_flip_in_jit_deterministic_and_effective(tmp_path):
     assert a["loss"] == b["loss"] and a["grad_norm"] == b["grad_norm"]
     # Same seeds + same dequant-noise stream, only the flips differ:
     assert a["loss"] != c["loss"]
+
+
+def test_lineage_profile_format_loads_and_trains(tmp_path, capsys):
+    """The reference lineage's capitalized-section hparams JSON loads
+    transparently (upstream:profile/*.json shape; keys with no equivalent
+    are reported and dropped, not fatal)."""
+    lineage = {
+        "Dir": {"log_root": str(tmp_path), "snapshot_root": "snapshots"},
+        "Glow": {
+            "image_shape": [3, 8, 8],  # lineage CHW order -> reordered
+            "hidden_channels": 16, "K": 2, "L": 2, "actnorm_scale": 1.0,
+            "flow_permutation": "invconv", "flow_coupling": "additive",
+            "LU_decomposed": True, "learn_top": False,
+            "y_condition": True, "y_classes": 4,
+        },
+        "Criterion": {"y_condition": "single-class"},
+        "Data": {"dataset": "celeba", "dataset_root": "/nonexistent", "num_workers": 2},
+        "Optim": {
+            "name": "adam",
+            "args": {"lr": 2e-3, "betas": [0.9, 0.9995], "eps": 1e-8},
+            "Schedule": {"name": "noam_learning_rate_decay",
+                          "args": {"warmup_steps": 7, "minimum": 1e-4}},
+        },
+        "Train": {"batch_size": 8, "num_batches": 4, "max_grad_clip": 5,
+                   "max_grad_norm": None, "scalar_log_gap": 4, "plot_gap": 0,
+                   "checkpoint_gap": 0, "num_plot_samples": 4,
+                   "validation_gap": 100},
+        "Device": {"glow": ["cuda:0"], "data": "cuda"},
+        "Infer": {"pre_trained": ""},
+    }
+    path = tmp_path / "celeba_lineage.json"
+    with open(path, "w") as f:
+        json.dump(lineage, f)
+    p = load_profile(str(path))
+    notice = capsys.readouterr().out
+    assert "no equivalent for" in notice and "Device.*" in notice
+    assert p.name == "celeba_lineage"
+    assert p.glow.image_shape == (8, 8, 3)  # CHW -> HWC
+    assert p.glow.lu_decomposed is True and p.glow.y_classes == 4
+    assert p.glow.y_multi_class is False  # Criterion "single-class"
+    assert p.optim.lr == 2e-3 and p.optim.schedule == "noam"
+    assert p.optim.warmup_steps == 7
+    assert p.train.num_steps == 4 and p.train.max_grad_norm == 0.0
+    assert p.data.name == "celeba" and p.out_dir == str(tmp_path)
+
+    # Trains end-to-end (nonexistent data root -> synthetic fallback).
+    built = builderlib.build(p)
+    r = trainerlib.train(built, quiet=True)
+    assert r["final_step"] == 4 and np.isfinite(r["loss"])
