@@ -151,6 +151,11 @@ def main(argv=None):
         if args.class_id is not None:
             if not prof.glow.y_condition:
                 sys.exit("error: --class-id requires a y-conditional profile")
+            if not 0 <= args.class_id < prof.glow.y_classes:
+                sys.exit(
+                    f"error: --class-id {args.class_id} out of range "
+                    f"[0, {prof.glow.y_classes})"
+                )
             import jax.numpy as jnp
 
             y = jax.nn.one_hot(
@@ -235,7 +240,8 @@ def main(argv=None):
         # machine-readable report.json.
         from pytorch_glow_tpu.train.builder import _labels_to_onehot
 
-        out_dir = args.output or "report"
+        # -o's generic default is a .png filename; reports are directories.
+        out_dir = args.output if not args.output.endswith(".png") else "report"
         os.makedirs(out_dir, exist_ok=True)
         report = {
             "profile": prof.name,
@@ -250,11 +256,14 @@ def main(argv=None):
         }
 
         y0 = _labels_to_onehot(batch, prof)
+        if y0 is not None and y0.shape[0] != args.num:
+            # The data batch sizes y0; -n may ask for more/fewer samples.
+            y0 = np.asarray(y0)[np.arange(args.num) % y0.shape[0]]
         for t_ in report["temperatures"]:
             imgs = inferer.sample(
                 args.num, temperature=t_,
                 rng=jax.random.fold_in(rng, int(t_ * 100)),
-                y_onehot=None if y0 is None else y0[: args.num],
+                y_onehot=y0,
             )
             save_image_grid(os.path.join(out_dir, f"samples_t{t_:.2f}.png"), imgs)
 

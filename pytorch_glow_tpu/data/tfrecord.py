@@ -233,7 +233,9 @@ def tfds_batches(
 ):
     """IndexedBatches over a tfds-prepared TFRecord directory, or None when
     `data_cfg.root` holds no matching shards.  Train split: epoch-shuffled,
-    infinite; test split: one deterministic pass."""
+    infinite; test split: deterministic order, also cycling — the trainer's
+    periodic eval islices a few batches per eval boundary across the run
+    (same contract as array_batches)."""
     from pytorch_glow_tpu.data.pipeline import (
         IndexedBatches, _proc_slice, _process_rows, epoch_permutation,
     )
@@ -261,8 +263,6 @@ def tfds_batches(
 
     def batch_at(i: int):
         epoch, k = divmod(i, bpe)
-        if split != "train" and epoch >= 1:
-            return None
         order = epoch_permutation(seed, epoch, n, shuffle)
         idx = order[k * bs : (k + 1) * bs]
         if pcount > 1:

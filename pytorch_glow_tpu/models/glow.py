@@ -524,6 +524,13 @@ def nll_bound(
     scales without k× activation memory.
     """
     assert bound in ("elbo", "iwae"), bound
+    if cfg.dequant not in ("uniform", "variational"):
+        # gaussian/none noise has no (or unbounded-support) q-density folded
+        # into the objective — the result would NOT bound the discrete NLL.
+        raise ValueError(
+            f"nll_bound is only a valid discrete-NLL bound for "
+            f"dequant='uniform'/'variational', not {cfg.dequant!r}"
+        )
 
     def one(r):
         return log_prob(params, x, cfg, rng=r, y_onehot=y_onehot)["objective"]

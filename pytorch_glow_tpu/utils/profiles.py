@@ -109,6 +109,7 @@ def convert_lineage_profile(d: dict[str, Any], name: str = "imported") -> dict[s
     crit = d.get("Criterion", {})
     if "y_condition" in crit:
         glow["y_multi_class"] = "multi" in str(crit["y_condition"])
+    dropped.extend(f"Criterion.{k}" for k in crit if k != "y_condition")
     out["glow"] = glow
 
     data: dict[str, Any] = {}
@@ -128,6 +129,7 @@ def convert_lineage_profile(d: dict[str, Any], name: str = "imported") -> dict[s
     for src, dst in (("lr", "lr"), ("betas", "betas"), ("eps", "eps")):
         if src in args:
             optim[dst] = args[src]
+    dropped.extend(f"Optim.args.{k}" for k in args if k not in ("lr", "betas", "eps"))
     sched = osec.pop("Schedule", osec.pop("schedule", {})) or {}
     sname = str(sched.get("name", ""))
     if "noam" in sname:
@@ -140,6 +142,10 @@ def convert_lineage_profile(d: dict[str, Any], name: str = "imported") -> dict[s
     for k in ("warmup_steps", "warmup"):
         if k in sargs:
             optim["warmup_steps"] = int(sargs[k])
+    dropped.extend(
+        f"Optim.Schedule.args.{k}" for k in sargs
+        if k not in ("warmup_steps", "warmup")
+    )
     dropped.extend(f"Optim.{k}" for k in osec)
     out["optim"] = optim
 

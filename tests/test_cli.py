@@ -261,3 +261,28 @@ def test_infer_sample_class_id_rejected_unconditional(trained, tmp_path):
     with pytest.raises(SystemExit):
         _run_infer(["sample", prof, "-n", "2", "--class-id", "1",
                     "--out-dir", out, "-o", str(tmp_path / "x.png")])
+
+
+def test_infer_sample_class_id_out_of_range_rejected(tmp_path):
+    """--class-id beyond y_classes would silently one-hot to zeros
+    (unconditional samples labeled with the class) — must error."""
+    out = str(tmp_path)
+    prof_path = os.path.join(out, "yc2.json")
+    with open(prof_path, "w") as f:
+        json.dump(
+            {
+                "name": "yc2",
+                "glow": {"image_shape": [8, 8, 3], "hidden_channels": 16,
+                          "K": 2, "L": 2, "y_condition": True,
+                          "y_classes": 4, "y_multi_class": False},
+                "train": {"batch_size": 8, "num_steps": 2, "scalar_log_gap": 2,
+                           "plot_gap": 0, "checkpoint_gap": 2,
+                           "num_sample_images": 4},
+                "data": {"name": "synthetic", "image_size": 8},
+            },
+            f,
+        )
+    train_cli.main([prof_path, "--out-dir", out, "--quiet"])
+    with pytest.raises(SystemExit):
+        _run_infer(["sample", prof_path, "-n", "2", "--class-id", "4",
+                    "--out-dir", out, "-o", str(tmp_path / "x.png")])

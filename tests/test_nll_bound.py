@@ -71,3 +71,17 @@ def test_inferer_nll_bound_api():
     inf = Inferer(params, CFG)
     out = inf.nll_bound(np.asarray(x), samples=2, bound="iwae")
     assert out.shape == (x.shape[0],) and np.isfinite(out).all()
+
+
+def test_nll_bound_rejects_nonbounding_dequant():
+    """gaussian/none dequantization has no bounded q folded into the
+    objective -- the 'bound' would not bound the discrete NLL; refuse."""
+    import dataclasses
+
+    import pytest
+
+    cfg_g = dataclasses.replace(CFG, dequant="gaussian")
+    params = glow.init_glow(jax.random.key(0), cfg_g)
+    x = jax.random.uniform(jax.random.key(1), (2, *cfg_g.image_shape))
+    with pytest.raises(ValueError, match="valid discrete-NLL bound"):
+        glow.nll_bound(params, x, cfg_g, jax.random.key(2))

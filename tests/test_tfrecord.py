@@ -90,11 +90,18 @@ def test_tfds_batches_cover_epoch_and_resume(tfds_root):
     assert np.array_equal(nxt["label"], nxt2["label"])
 
 
-def test_tfds_test_split_is_one_deterministic_pass(tfds_root):
+def test_tfds_test_split_deterministic_and_cycles(tfds_root):
+    """Test split: deterministic order AND cycling — the trainer's periodic
+    eval islices a few batches per boundary for the whole run (the
+    array_batches contract; a one-pass iterator would silently starve eval
+    + best-checkpoint selection mid-run)."""
+    import itertools
+
     d, g, t = _cfgs(tfds_root)
+    bpe = N_TEST // t.batch_size
     it = tfrecord.tfds_batches(d, g, t, "test")
-    batches = list(it)
-    assert len(batches) == N_TEST // t.batch_size
+    batches = list(itertools.islice(it, bpe + 1))  # one full pass + wrap
+    assert np.array_equal(batches[0]["image"], batches[bpe]["image"])
     it2 = tfrecord.tfds_batches(d, g, t, "test")
     assert np.array_equal(batches[0]["image"], next(it2)["image"])
 
