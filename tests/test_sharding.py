@@ -222,6 +222,33 @@ def test_two_process_grain_sharding_smoke():
     assert out["per_proc_records"] == [40, 40]
 
 
+def test_two_process_tfrecord_sharding_smoke():
+    """The pure-Python TFRecord reader (data/tfrecord.py) under REAL
+    jax.process_count() == 2: tfds-style shards written by TensorFlow in
+    the parent, consumed TF-free by the children — disjoint per-process
+    record ids covering the full epoch, O(1) index-state resume per
+    process, and an end-to-end Builder train run assembling a consistent
+    global batch (identical loss on both processes)."""
+    import json
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "multihost_tfrecord_smoke.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True, timeout=780,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if "multihost_tfrecord_smoke" in ln][-1]
+    out = json.loads(line)
+    assert out["multihost_tfrecord_smoke"] == "OK"
+    assert out["per_proc_records"] == [40, 40]
+
+
 def test_put_global_single_process(eight_devices):
     """Single-process put_global == device_put for arrays, typed PRNG keys,
     and sharded specs (the multi-process branch is covered by the smoke)."""
