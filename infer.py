@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("-n", "--num", type=int, default=16)
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--data-root", default=None)
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SEC.KEY=VAL",
+                   help="override any profile field (same as train.py --set)")
     p.add_argument("--synthetic", nargs="?", const="uniform", default=None,
                    choices=["uniform", "smooth", "textured"],
                    help="force synthetic data (same families as train.py)")
@@ -113,6 +116,7 @@ def main(argv=None):
     ns = argparse.Namespace(
         profile=args.profile, data_root=args.data_root, steps=None, batch_size=None,
         out_dir=args.out_dir, synthetic=args.synthetic, seed=None, quiet=True,
+        overrides=args.overrides,
     )
     prof = train_cli.resolve_profile(ns)
     built = build(prof, training=False, with_data=args.op not in ("sample", "export"),

@@ -135,7 +135,8 @@ class TrainConfig:
 class DataConfig:
     """Dataset selection (reference profile section "Data" + dataset/)."""
 
-    name: str = "cifar10"  # cifar10 | celeba | imagenet64 | synthetic
+    name: str = "cifar10"  # cifar10 | celeba | imagenet64 | image_folder
+    #                        | synthetic* | any tfds-prepared dataset name
     root: str = ""
     image_size: int = 32
     num_workers: int = 8  # decode threads (native/thread-pool path)

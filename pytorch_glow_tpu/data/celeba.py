@@ -10,7 +10,6 @@ on-device inside the jitted step.
 from __future__ import annotations
 
 import os
-from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -39,14 +38,9 @@ def parse_attr_file(path: str) -> tuple[list[str], dict[str, np.ndarray], list[s
 
 
 def _load_image(path: str, size: int) -> np.ndarray:
-    from PIL import Image
+    from pytorch_glow_tpu.data.folder import load_image
 
-    img = Image.open(path).convert("RGB")
-    w, h = img.size
-    s = min(w, h)
-    img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
-    img = img.resize((size, size), Image.BILINEAR)
-    return np.asarray(img, dtype=np.uint8)
+    return load_image(path, size)
 
 
 def parse_partition_file(path: str) -> dict[str, int]:
@@ -67,6 +61,8 @@ class CelebAFolder:
     it, a deterministic last-5%-by-filename holdout serves as the test set
     so eval never sees training images.
     """
+
+    meta_key = "attr"
 
     def __init__(self, root: str, image_size: int, split: str = "train"):
         self.image_size = image_size
@@ -118,11 +114,19 @@ class CelebAFolder:
     def __len__(self) -> int:
         return len(self.files)
 
+    def path(self, i: int) -> str:
+        return os.path.join(self.img_dir, self.files[i])
+
     def get(self, i: int) -> tuple[np.ndarray, np.ndarray | None]:
         fname = self.files[i]
         img = _load_image(os.path.join(self.img_dir, fname), self.image_size)
         attr = self.attrs.get(fname) if self.attrs is not None else None
         return img, attr
+
+    def meta_cols(self, idx: np.ndarray) -> dict[str, np.ndarray]:
+        if self.attrs is None:
+            return {}
+        return {"attr": np.stack([self.attrs[self.files[j]] for j in idx])}
 
 
 def celeba_batches(
@@ -133,69 +137,12 @@ def celeba_batches(
 ):
     """Shuffled uint8 batches with thread-pool (or native C++) decode;
     infinite for train, one epoch for test; O(1)-resumable.  Returns None if
-    the dataset is not on disk."""
-    from pytorch_glow_tpu.data import native_loader as nl
-    from pytorch_glow_tpu.data.pipeline import (
-        IndexedBatches,
-        _proc_slice,
-        _process_rows,
-        epoch_permutation,
-    )
+    the dataset is not on disk.  The batching engine itself is the shared
+    data/folder.py one (native double-buffered decode, per-process rows)."""
+    from pytorch_glow_tpu.data.folder import folder_batches
 
     try:
         ds = CelebAFolder(data_cfg.root, data_cfg.image_size, split)
     except (FileNotFoundError, NotADirectoryError):
         return None
-
-    use_native = nl.available()
-    pool = None if use_native else ThreadPoolExecutor(
-        max_workers=max(1, data_cfg.num_workers)
-    )
-    native_pool = (
-        nl.DecodePool(ds.image_size, threads=data_cfg.num_workers)
-        if use_native else None
-    )
-    pending: dict[int, int] = {}  # batch index -> in-flight decode job id
-    bs = train_cfg.batch_size
-    n = len(ds)
-    bpe = n // bs  # full batches per epoch (drop remainder)
-    if bpe == 0:
-        return None
-    shuffle = split == "train"
-    pidx, pcount = _proc_slice()
-    lo, hi = _process_rows(bs, pidx, pcount)
-
-    def batch_indices(i: int) -> np.ndarray:
-        # Test split cycles deterministically (periodic eval islices a few
-        # batches per eval); train shuffles per epoch.
-        epoch, k = divmod(i, bpe)
-        order = epoch_permutation(train_cfg.seed, epoch, n, shuffle)
-        idx = order[k * bs : (k + 1) * bs]
-        if pcount > 1:
-            idx = idx[lo:hi]  # this process decodes only its rows
-        return idx
-
-    def submit(i: int) -> int:
-        paths = [os.path.join(ds.img_dir, ds.files[j]) for j in batch_indices(i)]
-        return native_pool.submit(paths)
-
-    def batch_at(i: int):
-        idx = batch_indices(i)
-        if use_native:
-            # GIL-free C++ decode; batch i was usually submitted while
-            # batch i-1 was being consumed (double-buffered lookahead).
-            for stale in [b for b in pending if b != i]:
-                native_pool.wait(pending.pop(stale))  # non-sequential access
-            job = pending.pop(i, None)
-            batch = {"image": native_pool.wait(job if job is not None else submit(i))}
-            pending[i + 1] = submit(i + 1)
-            if ds.attrs is not None:
-                batch["attr"] = np.stack([ds.attrs[ds.files[j]] for j in idx])
-        else:
-            results = list(pool.map(ds.get, idx))
-            batch = {"image": np.stack([r[0] for r in results])}
-            if results[0][1] is not None:
-                batch["attr"] = np.stack([r[1] for r in results])
-        return batch
-
-    return IndexedBatches(batch_at)
+    return folder_batches(ds, data_cfg, train_cfg, split, ds.meta_cols)

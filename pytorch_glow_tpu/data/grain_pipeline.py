@@ -66,10 +66,12 @@ class _FolderSource:
         return len(self.folder)
 
     def __getitem__(self, idx):
-        img, attr = self.folder.get(int(idx))
+        img, meta = self.folder.get(int(idx))
         rec = {"image": img}
-        if attr is not None:
-            rec["attr"] = attr
+        if meta is not None:
+            # "attr" for CelebA's 40-attribute vectors, "label" for class
+            # subdirectory indices (data/folder.py ImageFolder).
+            rec[getattr(self.folder, "meta_key", "attr")] = meta
         return rec
 
     def __repr__(self) -> str:
@@ -130,6 +132,16 @@ def _make_source(
         try:
             return _FolderSource(
                 CelebAFolder(data_cfg.root, data_cfg.image_size, split),
+                data_cfg.image_size,
+            )
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+    elif data_cfg.name == "image_folder":
+        from pytorch_glow_tpu.data.folder import ImageFolder
+
+        try:
+            return _FolderSource(
+                ImageFolder(data_cfg.root, data_cfg.image_size, split),
                 data_cfg.image_size,
             )
         except (FileNotFoundError, NotADirectoryError):

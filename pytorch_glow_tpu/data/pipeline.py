@@ -25,6 +25,10 @@ Datasets:
 * cifar10    — the standard python-pickle batches if present under root.
 * celeba     — image folder + 40-attribute file (data/celeba.py).
 * imagenet64 — downsampled-ImageNet npz shards.
+* image_folder — ANY directory of JPEG/PNG images, optional class
+               subdirectories as labels (data/folder.py; LSUN-style).
+* <any name>/tfds — tfds-prepared TFRecord shards under root
+               (data/tfrecord.py, TF-free reader).
 """
 
 from __future__ import annotations
@@ -386,6 +390,12 @@ def make_dataset(
         from pytorch_glow_tpu.data.celeba import celeba_batches
 
         it = celeba_batches(data_cfg, glow_cfg, train_cfg, split)
+        if it is not None:
+            return it
+    if data_cfg.name == "image_folder":
+        from pytorch_glow_tpu.data.folder import image_folder_batches
+
+        it = image_folder_batches(data_cfg, glow_cfg, train_cfg, split)
         if it is not None:
             return it
     print(

@@ -181,6 +181,43 @@ def convert_lineage_profile(d: dict[str, Any], name: str = "imported") -> dict[s
     return out
 
 
+def apply_overrides(prof: Profile, assignments: list[str]) -> Profile:
+    """CLI `--set section.key=value` overrides on a resolved profile.
+
+    `value` is parsed as JSON when possible (numbers, bools, lists, null),
+    otherwise taken as a bare string — `--set data.name=image_folder`,
+    `--set optim.lr=2e-4`, `--set glow.image_shape=[64,64,3]`.  Top-level
+    scalars go without a dot (`--set out_dir=results/run2`).  Unknown
+    sections/keys raise, same typo discipline as the JSON loader.
+    """
+    for a in assignments:
+        lhs, sep, raw = a.partition("=")
+        if not sep:
+            raise KeyError(f"--set expects section.key=value, got {a!r}")
+        try:
+            val: Any = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        section, dot, key = lhs.partition(".")
+        if not dot:
+            if section not in ("name", "out_dir"):
+                raise KeyError(
+                    f"--set: unknown top-level key {section!r} "
+                    f"(sections: {sorted(_SECTIONS)}, scalars: name, out_dir)"
+                )
+            prof = prof.replace(**{section: str(val)})
+            continue
+        if section not in _SECTIONS:
+            raise KeyError(
+                f"--set: unknown section {section!r} (have {sorted(_SECTIONS)})"
+            )
+        base = getattr(prof, section)
+        prof = prof.replace(
+            **{section: _build_section(_SECTIONS[section], base, {key: val})}
+        )
+    return prof
+
+
 def load_profile(path: str) -> Profile:
     import os
 

@@ -135,6 +135,32 @@ def test_infer_export_then_serve(trained, tmp_path):
     assert os.path.getsize(png) > 0
 
 
+def test_set_overrides_resolve():
+    """`--set section.key=value` overrides any profile field from the CLI
+    (JSON-parsed values, typed coercion, top-level scalars)."""
+    ns = train_cli.parse_args([
+        "cifar10",
+        "--set", "optim.lr=2e-4",
+        "--set", "data.name=image_folder",
+        "--set", "glow.image_shape=[64,64,3]",
+        "--set", "train.augment_flip=true",
+        "--set", "out_dir=results/xx",
+    ])
+    prof = train_cli.resolve_profile(ns)
+    assert prof.optim.lr == 2e-4
+    assert prof.data.name == "image_folder"
+    assert prof.glow.image_shape == (64, 64, 3)
+    assert prof.train.augment_flip is True
+    assert prof.out_dir == "results/xx"
+
+
+def test_set_overrides_typo_rejected():
+    for bad in ("optim.lrr=1e-3", "nosuch.lr=1e-3", "badscalar=3", "optim.lr"):
+        ns = train_cli.parse_args(["cifar10", "--set", bad])
+        with pytest.raises(KeyError):
+            train_cli.resolve_profile(ns)
+
+
 def test_train_rejects_unknown_profile():
     with pytest.raises(SystemExit):
         train_cli.main(["definitely-not-a-preset", "--quiet"])

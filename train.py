@@ -8,6 +8,7 @@ Usage:
   python train.py cifar10 --data-root /data/cifar10
   python train.py profiles/celeba64.json --steps 100000 --out-dir results
   python train.py tiny-cifar10 --synthetic --steps 500
+  python train.py celebahq256 --set data.name=image_folder --data-root /data/lsun
 """
 
 from __future__ import annotations
@@ -32,6 +33,11 @@ def parse_args(argv=None):
                    help="force synthetic data (optionally pick the family: "
                         "uniform noise, smooth gradients, or multi-scale "
                         "textures + shapes)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SEC.KEY=VAL",
+                   help="override any profile field, e.g. --set optim.lr=2e-4 "
+                        "--set data.name=image_folder (repeatable; value "
+                        "parsed as JSON when possible)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--retries", type=int, default=0,
@@ -78,6 +84,10 @@ def resolve_profile(args):
         prof = prof.replace(data=dataclasses.replace(prof.data, **data_over))
     if args.out_dir is not None:
         prof = prof.replace(out_dir=args.out_dir)
+    if getattr(args, "overrides", None):
+        from pytorch_glow_tpu.utils.profiles import apply_overrides
+
+        prof = apply_overrides(prof, args.overrides)
     return prof
 
 
