@@ -183,8 +183,9 @@ def main(argv=None):
         return
 
     if args.op == "delta":
-        if "attr" not in batch:
-            sys.exit("error: delta requires a dataset with attributes (CelebA)")
+        if "attr" not in batch and "label" not in batch:
+            sys.exit("error: delta requires a dataset with attributes "
+                     "(CelebA) or class labels (image_folder subdirs)")
         it = itertools.chain([batch], built.data)
         delta = inferer.compute_attribute_delta(it, num_batches=args.batches)
         Inferer.save_attribute_delta(args.output, delta)

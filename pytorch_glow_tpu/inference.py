@@ -128,14 +128,34 @@ class Inferer:
     # -- attribute manipulation (CelebA workflow) ----------------------------
 
     def compute_attribute_delta(
-        self, batches: Iterator[dict], num_batches: int | None = None
+        self,
+        batches: Iterator[dict],
+        num_batches: int | None = None,
+        num_classes: int | None = None,
     ) -> np.ndarray:
         """Mean z_L over images with each attribute minus without it.
 
-        `batches` yields {"image": uint8 (B,H,W,C), "attr": (B, A) in ±1}.
+        `batches` yields {"image": uint8 (B,H,W,C), "attr": (B, A) in ±1} —
+        or {"image", "label": (B,) int class ids} (image_folder class
+        subdirectories), where each class is treated as a binary attribute
+        (one-vs-rest delta; row i moves a latent toward class i).
+        `num_classes` sizes the label one-hot (defaults to cfg.y_classes).
         Returns delta of shape (A, *z_shape).  (reference:
         upstream:network/inferer.py compute_attribute_delta)
         """
+        k = num_classes or self.cfg.y_classes
+
+        def as_attr(batch) -> np.ndarray:
+            if "attr" in batch:
+                return np.asarray(batch["attr"]) > 0  # (B, A)
+            lab = np.asarray(batch["label"]).astype(np.int64)
+            if lab.max() >= k:
+                raise ValueError(
+                    f"label {int(lab.max())} >= num_classes {k}; pass "
+                    f"num_classes (CLI: --set glow.y_classes=N)"
+                )
+            return np.eye(k, dtype=bool)[lab]  # one-vs-rest
+
         sum_with = sum_without = None
         n_with = n_without = None
         seen = 0
@@ -144,7 +164,7 @@ class Inferer:
                 break
             seen += 1
             z = np.asarray(self.encode(jnp.asarray(batch["image"])))
-            attr = np.asarray(batch["attr"]) > 0  # (B, A)
+            attr = as_attr(batch)
             if sum_with is None:
                 a = attr.shape[1]
                 sum_with = np.zeros((a, *z.shape[1:]), np.float64)

@@ -19,6 +19,34 @@ def _inferer():
     return Inferer(params, CFG)
 
 
+def test_class_label_delta_matches_onehot_attrs(tmp_path):
+    """Labeled batches (image_folder class subdirs) produce the identical
+    delta as the equivalent one-vs-rest ±1 attribute encoding, and an
+    out-of-range label is rejected with the num_classes hint."""
+    import pytest
+
+    inf = _inferer()
+    rng = np.random.default_rng(7)
+    images = rng.integers(0, 256, (4, 8, 8, 8, 3), dtype=np.uint8)
+    labels = rng.integers(0, 3, size=(4, 8))
+
+    by_label = inf.compute_attribute_delta(
+        ({"image": im, "label": lab} for im, lab in zip(images, labels)),
+        num_classes=3,
+    )
+    onehot = (np.eye(3)[labels] * 2 - 1).astype(np.int8)  # ±1 one-vs-rest
+    by_attr = inf.compute_attribute_delta(
+        ({"image": im, "attr": a} for im, a in zip(images, onehot))
+    )
+    assert by_label.shape == (3, *CFG.final_latent_shape)
+    np.testing.assert_array_equal(by_label, by_attr)
+
+    with pytest.raises(ValueError, match="num_classes"):
+        inf.compute_attribute_delta(
+            iter([{"image": images[0], "label": labels[0]}]), num_classes=2
+        )
+
+
 def test_full_roundtrip_is_exact():
     inf = _inferer()
     imgs = np.random.default_rng(0).integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
