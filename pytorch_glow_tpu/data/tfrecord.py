@@ -28,6 +28,7 @@ import glob as globlib
 import io
 import os
 import struct
+import threading
 
 import numpy as np
 
@@ -170,24 +171,53 @@ def parse_example(payload: bytes) -> dict[str, list]:
 
 
 class _ShardSet:
-    """Random access over the concatenated records of shard files."""
+    """Random access over the concatenated records of shard files.
+
+    Thread-safe: reads use `os.pread` (atomic positioned read on a raw fd),
+    because the Grain loader's prefetch THREADS call `__getitem__`
+    concurrently — a shared seek+read handle interleaves positions across
+    threads and returns garbage payloads (found by a real TPU resume run;
+    the single-threaded indexed path never trips it)."""
 
     def __init__(self, paths: list[str]):
         self.paths = sorted(paths)
         self._index: list[tuple[int, int, int]] = []  # (file_i, offset, length)
         for fi, p in enumerate(self.paths):
             self._index.extend((fi, off, ln) for off, ln in index_tfrecord(p))
-        self._files: dict[int, io.BufferedReader] = {}
+        self._fds: dict[int, int] = {}
+        self._open_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self._index)
 
     def read(self, i: int) -> bytes:
         fi, off, ln = self._index[i]
-        f = self._files.get(fi)
-        if f is None:
-            f = self._files[fi] = open(self.paths[fi], "rb")
-        return read_record(f, off, ln)
+        fd = self._fds.get(fi)
+        if fd is None:
+            with self._open_lock:
+                fd = self._fds.get(fi)
+                if fd is None:
+                    fd = self._fds[fi] = os.open(self.paths[fi], os.O_RDONLY)
+        return os.pread(fd, ln, off)
+
+    def __getstate__(self):
+        # Picklable across grain worker processes: the (file, offset, length)
+        # index travels; fds re-open lazily in the worker.
+        d = self.__dict__.copy()
+        d["_fds"] = {}
+        d["_open_lock"] = None
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._open_lock = threading.Lock()
+
+    def __del__(self):
+        for fd in getattr(self, "_fds", {}).values():
+            try:
+                os.close(fd)
+            except OSError:
+                pass
 
 
 def find_tfds_shards(root: str, name: str, split: str) -> list[str]:
@@ -204,6 +234,15 @@ def find_tfds_shards(root: str, name: str, split: str) -> list[str]:
             if hits:
                 return sorted(hits)
     return []
+
+
+def find_split_shards(data_cfg: DataConfig, split: str) -> list[str]:
+    """Shards for a profile split, with the tfds naming quirks folded in
+    (cifar10 calls the held-out split "test"; most others "validation")."""
+    paths = find_tfds_shards(data_cfg.root, data_cfg.name, split)
+    if not paths and split == "test":
+        paths = find_tfds_shards(data_cfg.root, data_cfg.name, "validation")
+    return paths
 
 
 def _decode_image(values: list, size: int) -> np.ndarray:
@@ -240,10 +279,8 @@ def tfds_batches(
         IndexedBatches, _proc_slice, _process_rows, epoch_permutation,
     )
 
-    tfds_split = {"train": "train", "test": "test"}.get(split, split)
-    paths = find_tfds_shards(data_cfg.root, data_cfg.name, tfds_split)
-    if not paths and split == "test":  # tfds cifar10 names it "test"; others "validation"
-        paths = find_tfds_shards(data_cfg.root, data_cfg.name, "validation")
+    tfds_split = split
+    paths = find_split_shards(data_cfg, split)
     if not paths:
         return None
     shards = _ShardSet(paths)

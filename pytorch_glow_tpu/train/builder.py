@@ -162,10 +162,21 @@ def build(
                 # snapshot makes this O(1); replay of start_step+1 batches is
                 # the legacy fallback for pre-state checkpoints.
                 saved = ckpt.restore_data_state(start_step)
+                data_resume = None
                 if saved is not None and hasattr(data, "set_state"):
-                    data.set_state(saved)
-                    data_resume = "state"
-                else:
+                    try:
+                        data.set_state(saved)
+                        data_resume = "state"
+                    except Exception as e:
+                        # The sidecar was written by a different loader than
+                        # the profile now routes to (e.g. an indexed-path
+                        # snapshot resumed after the dataset gained a Grain
+                        # source).  Degrade to batch replay, never crash a
+                        # resume over stream position.
+                        print(f"[build] saved data state incompatible with "
+                              f"the current loader ({type(e).__name__}: {e}); "
+                              f"replaying {start_step + 1} batches instead")
+                if data_resume is None:
                     for _ in range(start_step + 1):
                         next(data)
                     data_resume = "replay"

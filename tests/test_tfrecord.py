@@ -106,12 +106,79 @@ def test_tfds_test_split_deterministic_and_cycles(tfds_root):
     assert np.array_equal(batches[0]["image"], next(it2)["image"])
 
 
+def test_shardset_reads_are_thread_safe(tfds_root):
+    """Regression: grain's prefetch THREADS call the source concurrently; a
+    shared seek+read handle interleaved positions across threads and
+    returned garbage protobuf (found by a real TPU resume run).  _ShardSet
+    uses os.pread, so concurrent reads must match serial ones exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = tfrecord.find_tfds_shards(tfds_root, "cifar10", "train")
+    shards = tfrecord._ShardSet(paths)
+    want = [shards.read(i) for i in range(len(shards))]
+    idxs = [i % len(shards) for i in range(len(shards) * 20)]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(ex.map(shards.read, idxs))
+    for i, payload in zip(idxs, got):
+        assert payload == want[i]
+        tfrecord.parse_example(payload)  # valid protobuf
+
+
 def test_make_dataset_routes_to_tfrecords(tfds_root, capsys):
+    # loader="native" pins the single-threaded indexed reader (the Grain
+    # TFRecord source owns the "auto" route — tested below).
     d, g, t = _cfgs(tfds_root)
+    d = DataConfig(name="cifar10", root=tfds_root, image_size=SIZE,
+                   loader="native")
     it = pipeline.make_dataset(d, g, t)
     assert "tfds TFRecords" in capsys.readouterr().out
     b = next(it)
     assert b["image"].shape == (8, SIZE, SIZE, 3)
+
+
+def test_make_dataset_auto_routes_tfrecords_to_grain(tfds_root):
+    """Default loader="auto": tfds shard dirs go through the Grain source
+    (worker-process decode, opaque checkpoint state)."""
+    from pytorch_glow_tpu.data import grain_pipeline
+
+    if not grain_pipeline.GRAIN_AVAILABLE:
+        pytest.skip("grain not installed")
+    d, g, t = _cfgs(tfds_root)
+    it = pipeline.make_dataset(d, g, t)
+    assert isinstance(it, grain_pipeline.GrainIterator)
+    b = next(it)
+    assert b["image"].shape == (8, SIZE, SIZE, 3)
+    assert b["image"].dtype == np.uint8
+    assert b["label"].shape == (8,)  # labels ride along
+
+    # Opaque-state resume: a fresh iterator at the same state continues
+    # with the identical batch.
+    state = it.get_state()
+    want = next(it)
+    it2 = pipeline.make_dataset(d, g, t)
+    it2.set_state(state)
+    got = next(it2)
+    np.testing.assert_array_equal(want["image"], got["image"])
+    np.testing.assert_array_equal(want["label"], got["label"])
+
+
+def test_grain_tfrecord_worker_process_decode(tfds_root):
+    """grain_workers > 0: the TFRecord source pickles across the spawned
+    worker process (open shard handles re-open lazily) and yields the same
+    deterministic stream as in-process decode."""
+    from pytorch_glow_tpu.data import grain_pipeline
+
+    if not grain_pipeline.GRAIN_AVAILABLE:
+        pytest.skip("grain not installed")
+    _, g, t = _cfgs(tfds_root)
+    batches = {}
+    for workers in (0, 1):
+        d = DataConfig(name="cifar10", root=tfds_root, image_size=SIZE,
+                       grain_workers=workers)
+        it = pipeline.make_dataset(d, g, t)
+        batches[workers] = next(it)
+    np.testing.assert_array_equal(batches[0]["image"], batches[1]["image"])
+    np.testing.assert_array_equal(batches[0]["label"], batches[1]["label"])
 
 
 def test_train_end_to_end_on_tfrecords(tfds_root, tmp_path):
@@ -130,6 +197,40 @@ def test_train_end_to_end_on_tfrecords(tfds_root, tmp_path):
     )
     r = trainerlib.train(builderlib.build(p), quiet=True)
     assert r["final_step"] == 4 and np.isfinite(r["loss"])
+
+
+def test_resume_across_loader_switch_replays(tfds_root, tmp_path):
+    """A snapshot written under the indexed loader resumes after the profile
+    routes to Grain: the incompatible data-state sidecar degrades to batch
+    replay instead of crashing the resume."""
+    from pytorch_glow_tpu.config import OptimConfig, Profile
+    from pytorch_glow_tpu.data import grain_pipeline
+    from pytorch_glow_tpu.train import builder as builderlib
+    from pytorch_glow_tpu.train import trainer as trainerlib
+
+    if not grain_pipeline.GRAIN_AVAILABLE:
+        pytest.skip("grain not installed")
+
+    def prof(loader, steps):
+        return Profile(
+            name="tfr_switch",
+            glow=GlowConfig(image_shape=(SIZE, SIZE, 3), hidden_channels=16,
+                            K=2, L=2),
+            optim=OptimConfig(lr=1e-3, warmup_steps=4),
+            train=TrainConfig(batch_size=8, num_steps=steps, scalar_log_gap=4,
+                              plot_gap=0, checkpoint_gap=4,
+                              num_sample_images=4),
+            data=DataConfig(name="cifar10", root=tfds_root, image_size=SIZE,
+                            loader=loader),
+            out_dir=str(tmp_path),
+        )
+
+    trainerlib.train(builderlib.build(prof("native", 4)), quiet=True)
+    built = builderlib.build(prof("auto", 8))  # now routes to Grain
+    assert built.resumed and built.start_step == 4
+    assert built.extras["data_resume"] == "replay"
+    r = trainerlib.train(built, quiet=True)
+    assert r["final_step"] == 8 and np.isfinite(r["loss"])
 
 
 def test_resize_and_crop_when_sizes_differ(tfds_root):
