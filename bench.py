@@ -78,6 +78,9 @@ def _init_backend_bounded(timeout_s: float = 600.0):
 
 
 def main() -> None:
+    from pytorch_glow_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     _init_backend_bounded()
     import jax
     import jax.numpy as jnp

@@ -94,6 +94,9 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from pytorch_glow_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import train as train_cli
     from pytorch_glow_tpu.inference import Inferer

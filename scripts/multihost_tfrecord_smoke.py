@@ -1,16 +1,19 @@
 #!/usr/bin/env python
 """TWO-PROCESS TFRecord sharding smoke on CPU: the pure-Python tfds reader
-(data/tfrecord.py) under a real `jax.distributed` process pair.
+(data/tfrecord.py) under a real `jax.distributed` process pair — BOTH
+loaders: the indexed reader (loader="native") and the Grain production
+route (loader="auto" -> grain_pipeline._TFRecordSource + grain.ShardOptions).
 
 Mirrors scripts/multihost_grain_smoke.py for the TFRecord path:
 
-1. **Disjoint per-process record reads** — each record's PNG image encodes
-   its global index in pixel[0,0,R]; over one epoch the two processes' id
-   sets must partition the dataset exactly.
+1. **Disjoint per-process record reads** (each loader) — each record's PNG
+   image encodes its global index in pixel[0,0,R]; over one epoch the two
+   processes' id sets must partition the dataset exactly.
 2. **Consistent assembled global batch** — a short Builder train run must
    report the identical loss on both processes.
-3. **O(1) index-state resume per process** — a fresh iterator restored from
-   `get_state()` must produce the identical next batch.
+3. **State resume per process** (each loader) — a fresh iterator restored
+   from `get_state()` must produce the identical next batch (the indexed
+   path's integer state; grain's opaque bytes).
 
 TensorFlow is used ONLY by the parent to write real TFRecord fixtures; the
 children consume them through the TF-free production reader.
@@ -78,29 +81,37 @@ def child(proc: int, nprocs: int, port: int, root: str, out_dir: str) -> None:
     from pytorch_glow_tpu.train import builder as builderlib
     from pytorch_glow_tpu.train import trainer as trainerlib
 
-    # loader="native" skips the Grain probe; the tfrecord path follows.
-    data_cfg = DataConfig(name="cifar10", root=root, image_size=SIZE,
-                          loader="native")
     glow_cfg = GlowConfig(image_shape=(SIZE, SIZE, 3), hidden_channels=16,
                           K=2, L=2)
     train_cfg = TrainConfig(batch_size=16, seed=0)
 
-    # -- 1. disjoint reads over one epoch (80 records / 2 procs / 8 rows) --
-    it = make_dataset(data_cfg, glow_cfg, train_cfg)
-    ids: list[int] = []
-    for _ in range(N_TRAIN // train_cfg.batch_size):
-        b = next(it)
-        assert b["image"].shape == (
-            train_cfg.batch_size // nprocs, SIZE, SIZE, 3
-        ), b["image"].shape
-        ids.extend(int(v) for v in b["image"][:, 0, 0, 0])
+    def scan_epoch(loader: str):
+        """-- 1. disjoint reads over one epoch (80 records / 2 procs /
+        8 rows) and -- 3. state resume across a fresh reader, for one
+        loader route."""
+        cfg = DataConfig(name="cifar10", root=root, image_size=SIZE,
+                         loader=loader)
+        it = make_dataset(cfg, glow_cfg, train_cfg)
+        ids: list[int] = []
+        for _ in range(N_TRAIN // train_cfg.batch_size):
+            b = next(it)
+            assert b["image"].shape == (
+                train_cfg.batch_size // nprocs, SIZE, SIZE, 3
+            ), b["image"].shape
+            ids.extend(int(v) for v in b["image"][:, 0, 0, 0])
+        state = it.get_state()
+        want = next(it)["image"]
+        it2 = make_dataset(cfg, glow_cfg, train_cfg)
+        it2.set_state(state)
+        resume_ok = bool(np.array_equal(next(it2)["image"], want))
+        return ids, resume_ok
 
-    # -- 3. O(1) index-state resume across a fresh reader ------------------
-    state = it.get_state()
-    want = next(it)["image"]
-    it2 = make_dataset(data_cfg, glow_cfg, train_cfg)
-    it2.set_state(state)
-    resume_ok = bool(np.array_equal(next(it2)["image"], want))
+    # loader="native" pins the indexed reader; "grain" requires the Grain
+    # route (grain_pipeline._TFRecordSource sharded by grain.ShardOptions).
+    ids, resume_ok = scan_epoch("native")
+    ids_grain, resume_ok_grain = scan_epoch("grain")
+    data_cfg = DataConfig(name="cifar10", root=root, image_size=SIZE,
+                          loader="native")
 
     # -- 2. end-to-end: per-process rows -> global batch -> identical loss --
     p = Profile(
@@ -119,7 +130,8 @@ def child(proc: int, nprocs: int, port: int, root: str, out_dir: str) -> None:
     print(json.dumps({
         "proc": proc,
         "ids": ids,
-        "resume_ok": resume_ok,
+        "ids_grain": ids_grain,
+        "resume_ok": resume_ok and resume_ok_grain,
         "loss": round(float(result["loss"]), 6),
     }), flush=True)
 
@@ -171,15 +183,19 @@ def main() -> int:
         outs.append(json.loads(line))
     if not ok:
         return 1
-    id_sets = [set(o["ids"]) for o in outs]
-    assert id_sets[0].isdisjoint(id_sets[1]), (
-        f"processes read overlapping records: {sorted(id_sets[0] & id_sets[1])}"
-    )
-    union = id_sets[0] | id_sets[1]
-    assert union == set(range(N_TRAIN)), (
-        f"epoch did not cover the dataset: missing {set(range(N_TRAIN)) - union}"
-    )
+    for key in ("ids", "ids_grain"):
+        id_sets = [set(o[key]) for o in outs]
+        assert id_sets[0].isdisjoint(id_sets[1]), (
+            f"{key}: processes read overlapping records: "
+            f"{sorted(id_sets[0] & id_sets[1])}"
+        )
+        union = id_sets[0] | id_sets[1]
+        assert union == set(range(N_TRAIN)), (
+            f"{key}: epoch did not cover the dataset: "
+            f"missing {set(range(N_TRAIN)) - union}"
+        )
     assert all(o["resume_ok"] for o in outs), outs
+    id_sets = [set(o["ids"]) for o in outs]
     losses = {o["loss"] for o in outs}
     assert len(losses) == 1, f"processes disagree on loss: {outs}"
     print(json.dumps({

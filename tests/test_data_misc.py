@@ -268,3 +268,20 @@ def test_grain_worker_processes_and_state(tmp_path):
                        TrainConfig(batch_size=8))
     it2.set_state(state)
     np.testing.assert_array_equal(next(it2)["image"], want["image"])
+
+
+def test_compile_cache_helper_respects_existing_config(monkeypatch):
+    """enable_compile_cache must not clobber a user/test-configured cache
+    (conftest sets jax_compilation_cache_dir for this suite), must honor
+    GLOW_COMPILE_CACHE=0 and JAX_COMPILATION_CACHE_DIR."""
+    from pytorch_glow_tpu.utils.compile_cache import enable_compile_cache
+
+    # conftest already configured a cache dir -> helper is a no-op.
+    assert enable_compile_cache() is None
+
+    monkeypatch.setenv("GLOW_COMPILE_CACHE", "0")
+    assert enable_compile_cache() is None
+    monkeypatch.delenv("GLOW_COMPILE_CACHE")
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/somewhere")
+    assert enable_compile_cache() is None

@@ -97,6 +97,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from pytorch_glow_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     prof = resolve_profile(args)
     from pytorch_glow_tpu.parallel.distributed import maybe_initialize
 
