@@ -99,9 +99,11 @@ class _TFRecordSource:
         self._shards = tfrecord._ShardSet(paths)
         if len(self._shards) == 0:
             raise ValueError(f"no records in TFRecord shards {paths}")
-        # Probe the first record once: label presence is a dataset property.
+        # Probe the first record once: label/attribute presence is a
+        # dataset property.
         ex = tfrecord.parse_example(self._shards.read(0))
         self._has_label = bool(ex.get("label"))
+        self._has_attr = bool(ex.get("attributes"))
 
     def __len__(self) -> int:
         return len(self._shards)
@@ -117,6 +119,8 @@ class _TFRecordSource:
         rec = {"image": tfrecord._decode_image(ex["image"], self.image_size)}
         if self._has_label and ex.get("label"):
             rec["label"] = np.int64(ex["label"][0])
+        if self._has_attr and ex.get("attributes"):
+            rec["attr"] = np.asarray(ex["attributes"], np.int64)
         return rec
 
     def __repr__(self) -> str:

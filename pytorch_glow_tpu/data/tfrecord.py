@@ -166,6 +166,138 @@ def parse_example(payload: bytes) -> dict[str, list]:
 
 
 # ---------------------------------------------------------------------------
+# TFRecord WRITING — also TF-free, with real masked CRC32C so TensorFlow
+# readers accept the shards (scripts/prepare_tfrecords.py converts folder /
+# pickle datasets into the streaming layout once; interop is tested against
+# tf.data in tests/test_tfrecord.py).
+# ---------------------------------------------------------------------------
+
+_CRC_TABLE: list[int] | None = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC32C (Castagnoli).  google_crc32c's C extension when present;
+    a table-driven pure-Python fallback otherwise (one-time prep cost)."""
+    try:
+        import google_crc32c
+
+        return google_crc32c.value(data)
+    except ImportError:
+        global _CRC_TABLE
+        if _CRC_TABLE is None:
+            tbl = []
+            for i in range(256):
+                c = i
+                for _ in range(8):
+                    c = (c >> 1) ^ (0x82F63B78 if c & 1 else 0)
+                tbl.append(c)
+            _CRC_TABLE = tbl
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    """TFRecord's rotated+offset crc mask."""
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """A length-delimited protobuf field (wire type 2)."""
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _encode_feature(values) -> bytes:
+    """-> serialized Feature message.  bytes -> BytesList, int -> Int64List,
+    float -> FloatList (scalars or lists of one kind)."""
+    if isinstance(values, np.ndarray):
+        values = values.tolist()  # numpy scalars -> python ints/floats
+    elif not isinstance(values, (list, tuple)):
+        values = [values]
+    if not values:
+        raise ValueError("empty feature value")
+    if isinstance(values[0], bytes):
+        return _ld(1, b"".join(_ld(1, v) for v in values))
+    if isinstance(values[0], (bool, int)) or hasattr(values[0], "__index__"):
+        body = b"".join(
+            _varint(8) + _varint(int(v) & 0xFFFFFFFFFFFFFFFF) for v in values
+        )  # field 1, wire 0 (unpacked varints — all proto parsers accept)
+        return _ld(3, body)
+    if isinstance(values[0], float) or hasattr(values[0], "__float__"):
+        body = b"".join(
+            b"\x0d" + struct.pack("<f", float(v)) for v in values
+        )  # field 1, wire 5 (unpacked fixed32)
+        return _ld(2, body)
+    raise TypeError(f"unsupported feature type {type(values[0])}")
+
+
+def encode_example(features: dict) -> bytes:
+    """{name: bytes | int | float | list thereof} -> serialized
+    tf.train.Example (inverse of parse_example; round-trip tested)."""
+    entries = b"".join(
+        _ld(1, _ld(1, k.encode("utf-8")) + _ld(2, _encode_feature(v)))
+        for k, v in features.items()
+    )
+    return _ld(1, entries)
+
+
+def write_tfrecord(path: str, payloads) -> int:
+    """Write serialized records in TFRecord framing (with valid masked
+    CRC32C, so TF readers verify clean).  Returns the record count."""
+    n = 0
+    with open(path, "wb") as f:
+        for payload in payloads:
+            header = struct.pack("<Q", len(payload))
+            f.write(header)
+            f.write(struct.pack("<I", _masked_crc(header)))
+            f.write(payload)
+            f.write(struct.pack("<I", _masked_crc(payload)))
+            n += 1
+    return n
+
+
+def write_tfds_shards(root: str, name: str, split: str, examples,
+                      num_shards: int = 1) -> list[str]:
+    """Write `examples` (iterable of feature dicts) as tfds-named shards:
+    <root>/<name>-<split>.tfrecord-NNNNN-of-NNNNN, round-robin."""
+    os.makedirs(root, exist_ok=True)
+    paths = [
+        os.path.join(
+            root, f"{name}-{split}.tfrecord-{s:05d}-of-{num_shards:05d}"
+        )
+        for s in range(num_shards)
+    ]
+    files = [open(p, "wb") for p in paths]
+    try:
+        for i, ex in enumerate(examples):
+            payload = encode_example(ex)
+            f = files[i % num_shards]
+            header = struct.pack("<Q", len(payload))
+            f.write(header)
+            f.write(struct.pack("<I", _masked_crc(header)))
+            f.write(payload)
+            f.write(struct.pack("<I", _masked_crc(payload)))
+    finally:
+        for f in files:
+            f.close()
+    return paths
+
+
+# ---------------------------------------------------------------------------
 # tfds-layout dataset -> IndexedBatches
 # ---------------------------------------------------------------------------
 
@@ -304,8 +436,8 @@ def tfds_batches(
         idx = order[k * bs : (k + 1) * bs]
         if pcount > 1:
             idx = idx[lo:hi]
-        images, labels = [], []
-        has_label = True
+        images, labels, attrs = [], [], []
+        has_label = has_attr = True
         for j in idx:
             ex = parse_example(shards.read(int(j)))
             if "image" not in ex:
@@ -317,9 +449,17 @@ def tfds_batches(
                 labels.append(int(ex["label"][0]))
             else:
                 has_label = False
+            # CelebA-style +-1 attribute vectors (scripts/prepare_tfrecords.py
+            # writes them): ride along as "attr" for the delta workflow.
+            if "attributes" in ex and ex["attributes"]:
+                attrs.append(np.asarray(ex["attributes"], np.int64))
+            else:
+                has_attr = False
         batch = {"image": np.stack(images)}
         if has_label and labels:
             batch["label"] = np.asarray(labels, np.int64)
+        if has_attr and attrs:
+            batch["attr"] = np.stack(attrs)
         return batch
 
     print(

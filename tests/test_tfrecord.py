@@ -259,3 +259,149 @@ def test_multiprocess_rows_are_disjoint_and_cover_batch(tfds_root, monkeypatch):
     assert np.array_equal(assembled, full["image"])
     labels = np.concatenate([parts[0]["label"], parts[1]["label"]])
     assert np.array_equal(labels, full["label"])
+
+
+def test_encode_example_roundtrips_through_own_parser():
+    ex = {
+        "image": b"\x89PNG fake bytes",
+        "label": 7,
+        "neg": [-3, 0, 2**40],
+        "floats": [0.5, -1.25],
+        "multi": [b"a", b"bb"],
+    }
+    got = tfrecord.parse_example(tfrecord.encode_example(ex))
+    assert got["image"] == [b"\x89PNG fake bytes"]
+    assert got["label"] == [7]
+    assert got["neg"] == [-3, 0, 2**40]
+    assert got["floats"] == [0.5, -1.25]
+    assert got["multi"] == [b"a", b"bb"]
+
+
+def test_tf_reads_our_shards(tmp_path):
+    """Interop the OTHER way: tf.data must accept our framing, verify our
+    masked CRC32C, and parse our hand-rolled Example encoding."""
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (SIZE, SIZE, 3), np.uint8) for _ in range(6)]
+
+    def pngs():
+        import io
+
+        from PIL import Image
+
+        for k, img in enumerate(imgs):
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            yield {"image": buf.getvalue(), "label": k,
+                   "attributes": np.asarray([1, -1, 1], np.int64)}
+
+    paths = tfrecord.write_tfds_shards(str(tmp_path), "mini", "train",
+                                       pngs(), num_shards=2)
+    ds = tf.data.TFRecordDataset(paths)  # verifies CRCs internally
+    feats = {
+        "image": tf.io.FixedLenFeature([], tf.string),
+        "label": tf.io.FixedLenFeature([], tf.int64),
+        "attributes": tf.io.FixedLenFeature([3], tf.int64),
+    }
+    seen = 0
+    for rec in ds:
+        p = tf.io.parse_single_example(rec, feats)
+        img = tf.io.decode_png(p["image"]).numpy()
+        k = int(p["label"])
+        np.testing.assert_array_equal(img, imgs[k])
+        np.testing.assert_array_equal(p["attributes"].numpy(), [1, -1, 1])
+        seen += 1
+    assert seen == len(imgs)
+
+
+def test_pure_python_crc32c_matches_accelerated():
+    import google_crc32c
+
+    from pytorch_glow_tpu.data import tfrecord as tfr
+
+    for data in (b"", b"a", b"123456789", bytes(range(256)) * 3):
+        # Force the table fallback by calling the table path directly.
+        tfr._CRC_TABLE = None
+        import unittest.mock as mock
+
+        with mock.patch.dict("sys.modules", {"google_crc32c": None}):
+            try:
+                slow = tfr._crc32c(data)
+            finally:
+                pass
+        assert slow == google_crc32c.value(data)
+
+
+def _load_script(name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        name,
+        os.path.join(os.path.dirname(__file__), "..", "scripts", f"{name}.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_prepare_tfrecords_celeba_chain(tmp_path):
+    """Folder CelebA -> prepare_tfrecords (pre-resize) -> Grain TFRecord
+    route -> batches carry image AND the +-1 attribute vectors (the delta
+    workflow's input)."""
+    from PIL import Image
+
+    src = tmp_path / "celeba"
+    img_dir = src / "img_align_celeba"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = [f"{i:06d}.jpg" for i in range(1, 41)]
+    for nm in names:
+        Image.fromarray(
+            rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+        ).save(img_dir / nm, quality=95)
+    attrs = rng.choice([-1, 1], size=(len(names), 40))
+    lines = [str(len(names)), " ".join(f"A{i}" for i in range(40))]
+    for nm, row in zip(names, attrs):
+        lines.append(nm + " " + " ".join(map(str, row)))
+    (src / "list_attr_celeba.txt").write_text("\n".join(lines) + "\n")
+
+    out = str(tmp_path / "tfr")
+    prep = _load_script("prepare_tfrecords")
+    counts = prep.main(["celeba", str(src), out, "--shards", "2",
+                        "--image-size", str(SIZE), "--splits", "train"])
+    assert counts["train"] == 38  # 40 minus the 5% holdout
+
+    d = DataConfig(name="celeba", root=out, image_size=SIZE)
+    g = GlowConfig(image_shape=(SIZE, SIZE, 3), hidden_channels=16, K=2, L=2)
+    it = pipeline.make_dataset(d, g, TrainConfig(batch_size=8, seed=0))
+    b = next(it)
+    assert b["image"].shape == (8, SIZE, SIZE, 3)
+    assert b["attr"].shape == (8, 40)
+    assert set(np.unique(b["attr"])) <= {-1, 1}
+
+
+def test_prepare_tfrecords_image_folder_labels(tmp_path):
+    """Class-subdir image_folder -> converter copies the ORIGINAL encoded
+    bytes -> labels ride through both reader routes."""
+    from PIL import Image
+
+    src = tmp_path / "folder"
+    rng = np.random.default_rng(1)
+    for ci, cls in enumerate(["cat", "dog"]):
+        (src / cls).mkdir(parents=True)
+        for i in range(12):
+            Image.fromarray(
+                rng.integers(0, 256, (SIZE, SIZE, 3), dtype=np.uint8)
+            ).save(src / cls / f"{i}.png")
+
+    out = str(tmp_path / "tfr")
+    prep = _load_script("prepare_tfrecords")
+    prep.main(["image_folder", str(src), out, "--shards", "1",
+               "--splits", "train", "--name", "image_folder"])
+
+    # Indexed route (the copied PNG bytes decode unchanged).
+    d = DataConfig(name="image_folder", root=out, image_size=SIZE,
+                   loader="native")
+    g = GlowConfig(image_shape=(SIZE, SIZE, 3), hidden_channels=16, K=2, L=2)
+    b = next(pipeline.make_dataset(d, g, TrainConfig(batch_size=8, seed=0)))
+    assert b["image"].shape == (8, SIZE, SIZE, 3)
+    assert set(b["label"].tolist()) <= {0, 1}
