@@ -47,8 +47,15 @@ def _linear_warmup(lr: float, warmup: int):
     return sched
 
 
-def make_optimizer(opt_cfg: OptimConfig, train_cfg: TrainConfig) -> optax.GradientTransformation:
-    sched = make_schedule(opt_cfg)
+def make_optimizer(
+    opt_cfg: OptimConfig,
+    train_cfg: TrainConfig,
+    schedule: optax.Schedule | None = None,
+) -> optax.GradientTransformation:
+    """`schedule` overrides the profile's lr schedule while keeping the whole
+    production chain (clipping, accumulation, skip-nonfinite) — used by
+    scripts/lr_probe.py's exponential lr-range ramp."""
+    sched = schedule if schedule is not None else make_schedule(opt_cfg)
     if opt_cfg.name == "adam":
         core = optax.adam(sched, b1=opt_cfg.betas[0], b2=opt_cfg.betas[1], eps=opt_cfg.eps)
     elif opt_cfg.name == "adamax":

@@ -312,3 +312,55 @@ def test_infer_sample_class_id_out_of_range_rejected(tmp_path):
     with pytest.raises(SystemExit):
         _run_infer(["sample", prof_path, "-n", "2", "--class-id", "4",
                     "--out-dir", out, "-o", str(tmp_path / "x.png")])
+
+
+def test_lr_probe_finds_blowup(tmp_path):
+    """scripts/lr_probe.py: the exponential lr-range ramp detects the
+    instability onset of a micro config and recommends a peak below it."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "lr_probe", os.path.join(REPO, "scripts", "lr_probe.py")
+    )
+    lr_probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lr_probe)
+
+    prof_path = str(tmp_path / "micro.json")
+    with open(prof_path, "w") as f:
+        json.dump(
+            {
+                "name": "micro",
+                "glow": {"image_shape": [8, 8, 3], "hidden_channels": 16,
+                         "K": 2, "L": 2},
+                "train": {"batch_size": 16},
+                "data": {"name": "synthetic_textured"},
+            },
+            f,
+        )
+    out = lr_probe.main([prof_path, "--cpu", "--lr0", "1e-4", "--lr1", "5.0",
+                         "--steps", "160", "--spc", "5", "--min-steps", "20",
+                         "--quiet"])
+    assert out["onset_lr"] is not None, out
+    assert 1e-4 < out["onset_lr"] <= 5.0
+    assert out["recommended_peak"] == pytest.approx(out["onset_lr"] / 2)
+    assert out["max_stable_lr"] < out["onset_lr"]
+
+
+def test_lr_probe_from_checkpoint(trained):
+    """--out-dir probes FROM a trained snapshot (the divergence-forensic
+    protocol): optimizer state restores into the probe's ramp chain and the
+    ramp starts at the checkpoint step."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "lr_probe", os.path.join(REPO, "scripts", "lr_probe.py")
+    )
+    lr_probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lr_probe)
+
+    prof_path, out, _ = trained
+    res = lr_probe.main([prof_path, "--cpu", "--out-dir", out,
+                         "--lr0", "1e-3", "--lr1", "10.0", "--steps", "60",
+                         "--spc", "5", "--min-steps", "10", "--quiet"])
+    assert res["start_step"] == 6
+    assert res["onset_lr"] is not None and res["onset_step"] > 6
