@@ -70,10 +70,19 @@ def parse_args(argv=None):
                         "per-draw bounds (elbo) or the tighter logsumexp "
                         "importance bound (iwae)")
     p.add_argument("--steps", type=int, default=8, help="interpolation steps")
+    p.add_argument("--swd-images", type=int, default=128,
+                   help="op=report: images per set for the multi-scale "
+                        "sliced-Wasserstein sample-quality metric "
+                        "(0 disables; needs >=64 for a stable estimate)")
     p.add_argument("--class-id", type=int, default=None,
                    help="op=sample on a y-conditional profile: sample this "
                         "class (one-hot prior shift); default unconditional")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--exact", action="store_true",
+                   help="run inference on the exact f32/XLA path regardless "
+                        "of the profile's bf16/fused-kernel training "
+                        "settings (same trained params; eliminates the "
+                        "documented bf16 round-trip drift)")
     p.add_argument("--ema", action="store_true",
                    help="use EMA (Polyak-averaged) params if the snapshot has them")
     p.add_argument("--best", action="store_true",
@@ -116,10 +125,16 @@ def main(argv=None):
               f"T={args.temperature} from artifact {args.profile})")
         return
 
+    overrides = list(args.overrides)
+    if args.exact:
+        # The checkpoint's params are dtype-independent (f32 storage;
+        # compute_dtype only casts at compute), so the exact path is a pure
+        # inference-time choice.
+        overrides += ["glow.compute_dtype=float32", "glow.flowstep_impl=xla"]
     ns = argparse.Namespace(
         profile=args.profile, data_root=args.data_root, steps=None, batch_size=None,
         out_dir=args.out_dir, synthetic=args.synthetic, seed=None, quiet=True,
-        overrides=args.overrides,
+        overrides=overrides,
     )
     prof = train_cli.resolve_profile(ns)
     built = build(prof, training=False, with_data=args.op not in ("sample", "export"),
@@ -312,13 +327,51 @@ def main(argv=None):
             "eval_images": count,
         }
 
+        if args.swd_images > 0:
+            # Multi-scale sliced-Wasserstein between held-out data and
+            # T=1.0 samples (the density-matched temperature): the report's
+            # sample-quality axis — NLL measures density fit, SWD whether
+            # SAMPLES match the data's per-scale patch statistics.
+            from pytorch_glow_tpu.utils.swd import sliced_wasserstein
+
+            reals, ylist, got = [], [], 0
+            while got < args.swd_images:
+                b = next(built.data)
+                x = np.asarray(b["image"])
+                take = min(args.swd_images - got, x.shape[0])
+                reals.append(x[:take])
+                y = _labels_to_onehot(b, prof)
+                if y is not None:
+                    # Class-conditioned samples follow the data's labels so
+                    # both sets draw from the same class mixture.
+                    ylist.append(np.asarray(y)[:take])
+                got += take
+            fakes = [
+                np.asarray(
+                    inferer.sample(
+                        chunk.shape[0], temperature=1.0,
+                        rng=jax.random.fold_in(rng, 1000 + ci),
+                        y_onehot=ylist[ci] if ylist else None,
+                    )
+                )
+                for ci, chunk in enumerate(reals)
+            ]
+            report["swd_x1e3"] = sliced_wasserstein(
+                np.concatenate(reals), np.concatenate(fakes), seed=args.seed
+            )
+            report["swd_x1e3"]["images_per_set"] = got
+
         with open(os.path.join(out_dir, "report.json"), "w") as f:
             json.dump(report, f, indent=2)
+        swd_note = (
+            f", swd {report['swd_x1e3']['swd_avg']:.1f}x1e-3"
+            if "swd_x1e3" in report else ""
+        )
         print(
             f"wrote {out_dir}/report.json: step {report['step']}, "
             f"elbo {report['bits_dim']['elbo_1draw']:.4f} bits/dim "
             f"(iwae8 {report['bits_dim']['iwae_8draw']:.4f}), recon drift "
-            f"max {report['recon_drift_u8']['max']} bins; "
+            f"max {report['recon_drift_u8']['max']} bins{swd_note}; "
             f"{2 + len(report['temperatures'])} image sheets"
         )
         return

@@ -77,6 +77,35 @@ def test_infer_recon(trained, tmp_path):
     assert os.path.getsize(png) > 0
 
 
+def test_infer_exact_on_bf16_profile(celeba_root, tmp_path, capsys):
+    """--exact runs a bf16-trained profile's inference on the f32/XLA path
+    (same params, pure inference-time choice) with an exact round-trip."""
+    out = str(tmp_path / "out")
+    prof_path = str(tmp_path / "p.json")
+    with open(prof_path, "w") as f:
+        json.dump(
+            {
+                "name": "cli-bf16",
+                "glow": {"image_shape": [8, 8, 3], "hidden_channels": 16,
+                          "K": 2, "L": 2, "compute_dtype": "bfloat16"},
+                "train": {"batch_size": 8, "num_steps": 4, "scalar_log_gap": 4,
+                           "plot_gap": 0, "checkpoint_gap": 4,
+                           "num_sample_images": 4},
+                "data": {"name": "celeba", "image_size": 8, "num_workers": 2},
+            },
+            f,
+        )
+    r = train_cli.main([prof_path, "--data-root", celeba_root,
+                        "--out-dir", out, "--quiet"])
+    assert r["final_step"] == 4
+    png = str(tmp_path / "r.png")
+    _run_infer(["recon", prof_path, "-n", "2", "--data-root", celeba_root,
+                "--out-dir", out, "-o", png, "--exact"])
+    text = capsys.readouterr().out
+    err = float(text.split("max |x - rec| = ")[1])
+    assert err <= 1.0, text  # f32 path: exact to the quantization bin
+
+
 def test_infer_delta_then_manipulate_and_interpolate(trained, tmp_path):
     prof, out, root = trained
     npz = str(tmp_path / "delta.npz")
@@ -242,7 +271,8 @@ def test_infer_report(trained, tmp_path, capsys):
     prof, out, root = trained
     rep = str(tmp_path / "report")
     _run_infer(["report", prof, "--data-root", root, "--out-dir", out,
-                "--batches", "1", "-n", "2", "--steps", "3", "-o", rep])
+                "--batches", "1", "-n", "2", "--steps", "3", "-o", rep,
+                "--swd-images", "16"])
     assert "report.json" in capsys.readouterr().out
     with open(os.path.join(rep, "report.json")) as f:
         r = json.load(f)
@@ -250,6 +280,9 @@ def test_infer_report(trained, tmp_path, capsys):
         "noise_free_corner", "elbo_1draw", "iwae_8draw", "eval_images"
     }
     assert np.isfinite(r["bits_dim"]["elbo_1draw"])
+    # Sample-quality axis: multi-scale SWD vs held-out data (x1e3).
+    assert r["swd_x1e3"]["images_per_set"] == 16
+    assert np.isfinite(r["swd_x1e3"]["swd_avg"]) and r["swd_x1e3"]["swd_avg"] > 0
     assert r["recon_drift_u8"]["max"] <= 1  # f32 path: exact round-trip
     for name in ("recon.png", "interpolate.png", "samples_t0.70.png"):
         assert os.path.getsize(os.path.join(rep, name)) > 0
