@@ -129,8 +129,21 @@ def main(argv=None):
     if args.exact:
         # The checkpoint's params are dtype-independent (f32 storage;
         # compute_dtype only casts at compute), so the exact path is a pure
-        # inference-time choice.
-        overrides += ["glow.compute_dtype=float32", "glow.flowstep_impl=xla"]
+        # inference-time choice.  Force EVERY precision-affecting knob, not
+        # just the dtype: a profile trained with the Pallas invconv or a
+        # lowered matmul precision must not leak into the "exact" promise.
+        exact = {
+            "glow.compute_dtype": "float32",
+            "glow.flowstep_impl": "xla",
+            "glow.invconv_impl": "xla",
+            "glow.invconv_precision": "highest",
+        }
+        for ov in overrides:
+            key = ov.split("=", 1)[0].strip()
+            if key in exact:
+                print(f"[infer] warning: --exact overrides your -o {ov!r} "
+                      f"with {key}={exact[key]}", file=sys.stderr)
+        overrides += [f"{k}={v}" for k, v in exact.items()]
     ns = argparse.Namespace(
         profile=args.profile, data_root=args.data_root, steps=None, batch_size=None,
         out_dir=args.out_dir, synthetic=args.synthetic, seed=None, quiet=True,
@@ -336,30 +349,38 @@ def main(argv=None):
 
             reals, ylist, got = [], [], 0
             while got < args.swd_images:
-                b = next(built.data)
+                try:
+                    b = next(built.data)
+                except StopIteration:
+                    # Finite (repeat=False) pipeline exhausted — score what
+                    # we collected and say so in the report.
+                    report["swd_note"] = (
+                        f"pipeline exhausted at {got}/{args.swd_images} images"
+                    )
+                    break
                 x = np.asarray(b["image"])
                 take = min(args.swd_images - got, x.shape[0])
                 reals.append(x[:take])
                 y = _labels_to_onehot(b, prof)
-                if y is not None:
-                    # Class-conditioned samples follow the data's labels so
-                    # both sets draw from the same class mixture.
-                    ylist.append(np.asarray(y)[:take])
+                # One entry PER chunk (None when unlabeled) so ylist stays
+                # index-aligned with reals even if labeling were mixed.
+                ylist.append(np.asarray(y)[:take] if y is not None else None)
                 got += take
             fakes = [
                 np.asarray(
                     inferer.sample(
                         chunk.shape[0], temperature=1.0,
                         rng=jax.random.fold_in(rng, 1000 + ci),
-                        y_onehot=ylist[ci] if ylist else None,
+                        y_onehot=ylist[ci],
                     )
                 )
                 for ci, chunk in enumerate(reals)
             ]
-            report["swd_x1e3"] = sliced_wasserstein(
-                np.concatenate(reals), np.concatenate(fakes), seed=args.seed
-            )
-            report["swd_x1e3"]["images_per_set"] = got
+            if got > 0:
+                report["swd_x1e3"] = sliced_wasserstein(
+                    np.concatenate(reals), np.concatenate(fakes), seed=args.seed
+                )
+                report["swd_x1e3"]["images_per_set"] = got
 
         with open(os.path.join(out_dir, "report.json"), "w") as f:
             json.dump(report, f, indent=2)

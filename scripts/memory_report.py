@@ -7,7 +7,10 @@ knob's headroom against a chip's HBM.
 Extends the upstream lineage's tooling (it sizes memory by trial OOM;
 SURVEY.md §5 observability): here capacity planning is one command and
 needs no training run — `.lower().compile()` is minutes cheaper than a
-step, and with the persistent compile cache it is seconds.
+step, and with the persistent compile cache it is seconds.  The one real
+cost is a single host-CPU materialization of the param+optimizer tree
+(init_state's LU init is host numpy and cannot be eval_shape'd); the
+target device is never allocated on.
 
 Usage:
   python scripts/memory_report.py cifar10                 # preset, this backend
@@ -94,10 +97,13 @@ def main(argv=None):
     tx = make_optimizer(prof.optim, t)
 
     # init_state runs host-side numpy (the LU init), so it cannot be
-    # eval_shape'd; materialize once, then keep only abstract shapes — the
-    # compiles below never touch real buffers.
-    state_abs = _abstract(steplib.init_state(jax.random.key(0), g, tx,
-                                             ema_decay=t.ema_decay))
+    # eval_shape'd; materialize ONCE ON THE HOST CPU (one-time host memory
+    # ~= one param+opt tree — real at celebahq256 scale on a 1-core box),
+    # then keep only abstract shapes — the compiles below never allocate on
+    # the target device, so the report itself stays allocation-free.
+    with jax.default_device(jax.devices("cpu")[0]):
+        state_abs = _abstract(steplib.init_state(jax.random.key(0), g, tx,
+                                                 ema_decay=t.ema_decay))
     h, w, c = g.image_shape
     spc = max(1, t.steps_per_call)
     if spc > 1:
