@@ -118,6 +118,13 @@ class TrainConfig:
     # augmentation).  Applied INSIDE the jitted train step from the saved
     # per-step rng — zero host cost, bitwise-reproducible across resume.
     augment_flip: bool = False
+    # Sample-quality tracking: every N steps compute the multi-scale sliced
+    # Wasserstein distance (utils/swd.py, PGGAN protocol) between the
+    # current training batch and T=1.0 samples from the eval (EMA) params,
+    # logged as `swd_x1e3`.  Host-side numpy (~3 s at 256 32² images);
+    # 0 disables.
+    swd_gap: int = 0
+    swd_images: int = 256  # per-set image count (capped by batch_size)
     # Skip optimizer updates with non-finite grads, up to N consecutive
     # (optax.apply_if_finite; Glow-paper practice — affine-coupling scales
     # transiently saturate).  0 disables.  After N consecutive skips optax

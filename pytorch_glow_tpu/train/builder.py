@@ -122,6 +122,13 @@ def build(
     eval_step_n = steplib.make_eval_step_n(serve_g)
     sample_fn = steplib.make_sample_fn(serve_g, t.num_sample_images, t.sample_temperature)
     reconstruct_fn = steplib.make_reconstruct_fn(serve_g)
+    swd_sample_fn = None
+    if t.swd_gap:
+        # T=1.0 is the density-matched temperature: SWD scores whether
+        # samples match the data's per-scale patch statistics.
+        swd_sample_fn = steplib.make_sample_fn(
+            serve_g, min(t.swd_images, t.batch_size), 1.0
+        )
 
     data = None
     eval_data = None
@@ -207,7 +214,7 @@ def build(
         data=data,
         ckpt=ckpt,
         extras={"eval_data": eval_data, "data_resume": data_resume,
-                "eval_step_n": eval_step_n},
+                "eval_step_n": eval_step_n, "swd_sample_fn": swd_sample_fn},
         start_step=start_step,
         resumed=resumed,
     )

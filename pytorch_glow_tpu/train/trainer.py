@@ -202,6 +202,15 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
                             )["nll"]
                         )
                         ev = {"eval_nll": nll}
+                        if "ema" in state:
+                            # EMA-vs-raw A/B for free: eval_nll above used the
+                            # EMA params; score the live params on the SAME
+                            # batches so every EMA run carries its own control.
+                            ev["eval_nll_raw"] = float(
+                                built.extras["eval_step_n"](
+                                    state["params"], images, y_stack
+                                )["nll"]
+                            )
                         # Round-trip drift guard: decode(encode(x)) must stay
                         # within one uint8 quantization bin (north-star
                         # exactness, checked continuously in production).
@@ -225,6 +234,32 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
                             if built.ckpt.maybe_save_best(step, state, ev["eval_nll"]):
                                 ev["best_eval_nll"] = ev["eval_nll"]
                         logger.scalars(step, ev)
+
+            if t.swd_gap and step % t.swd_gap == 0:
+                # Sample-quality trajectory (SURVEY.md §5 observability):
+                # multi-scale sliced Wasserstein between the current training
+                # batch and T=1.0 samples from the eval (EMA) params.
+                from pytorch_glow_tpu.utils.swd import sliced_wasserstein
+
+                n = min(t.swd_images, t.batch_size)
+                rng = jax.random.fold_in(jax.random.key(t.seed + 3), step)
+                y_s = None if y is None else y[:n]
+                fake = np.asarray(
+                    built.extras["swd_sample_fn"](
+                        steplib.ema_params(state), rng, y_s
+                    )
+                )
+                real = np.asarray(batch["image"][:n])
+                if real.dtype != np.uint8:
+                    # Pre-processed float pipeline: bring reals back to the
+                    # samples' uint8 scale before comparing patch statistics.
+                    real = np.asarray(
+                        jax.device_get(
+                            steplib.glow.postprocess(jax.numpy.asarray(real), p.glow)
+                        )
+                    )
+                swd = sliced_wasserstein(real, fake, seed=t.seed)
+                logger.scalars(step, {"swd_x1e3": swd["swd_avg"]})
     except BaseException:
         # Do NOT snapshot on the way out of a failure: `state` may reference
         # donated (deleted) buffers if train_step itself raised, and a

@@ -439,3 +439,29 @@ def test_lineage_profile_format_loads_and_trains(tmp_path, capsys):
     built = builderlib.build(p)
     r = trainerlib.train(built, quiet=True)
     assert r["final_step"] == 4 and np.isfinite(r["loss"])
+
+
+def test_eval_logs_raw_and_ema_nll_and_swd(tmp_path):
+    """With EMA on, every eval logs BOTH eval_nll (EMA params) and
+    eval_nll_raw (live params) — the within-run EMA A/B — and swd_gap
+    logs the sample-quality swd_x1e3 trajectory."""
+    import csv
+
+    p = micro_profile(tmp_path).replace(
+        train=TrainConfig(batch_size=16, num_steps=8, scalar_log_gap=4,
+                          plot_gap=0, checkpoint_gap=8, eval_gap=4,
+                          eval_batches=1, num_sample_images=4,
+                          ema_decay=0.99, swd_gap=8, swd_images=16),
+    )
+    built = builderlib.build(p)
+    trainerlib.train(built, quiet=True)
+    with open(os.path.join(str(tmp_path), "micro", "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    evals = [r for r in rows if r.get("eval_nll")]
+    assert evals, f"no eval rows in {rows}"
+    for r in evals:
+        assert r.get("eval_nll_raw"), r
+        assert np.isfinite(float(r["eval_nll"]))
+        assert np.isfinite(float(r["eval_nll_raw"]))
+    swds = [r for r in rows if r.get("swd_x1e3")]
+    assert swds and all(float(r["swd_x1e3"]) > 0 for r in swds), rows
