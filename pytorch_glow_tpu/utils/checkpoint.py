@@ -12,6 +12,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import threading
 from typing import Any
 
 import jax
@@ -33,6 +34,12 @@ class CheckpointManager:
         # one never rotates, so model selection survives long runs.
         self._best_dir = self.directory + "-best"
         self._best_mgr = None
+        # Async best-save bookkeeping: the metric of an in-flight best save
+        # (so a faster next eval compares against it, not the stale sidecar)
+        # and the commit threads that write best.json once orbax finalizes.
+        self._best_pending: dict | None = None
+        self._best_threads: list[threading.Thread] = []
+        self._best_lock = threading.Lock()
 
     # -- best-checkpoint tracking ---------------------------------------------
 
@@ -40,12 +47,19 @@ class CheckpointManager:
         return os.path.join(self._best_dir, "best.json")
 
     def best_info(self) -> dict | None:
-        """{"step": int, "metric": float} of the best snapshot, or None."""
+        """{"step": int, "metric": float} of the best snapshot, or None.
+
+        Includes an in-flight async best save (its sidecar lands when orbax
+        commits), so back-to-back evals compare against the true best."""
         path = self._best_meta_path()
-        if not os.path.isfile(path):
-            return None
-        with open(path) as f:
-            return json.load(f)
+        disk = None
+        if os.path.isfile(path):
+            with open(path) as f:
+                disk = json.load(f)
+        pend = self._best_pending
+        if pend is not None and (disk is None or pend["metric"] < disk["metric"]):
+            return dict(pend)
+        return disk
 
     def _get_best_mgr(self) -> ocp.CheckpointManager:
         if self._best_mgr is None:
@@ -75,17 +89,46 @@ class CheckpointManager:
         if not should:
             return False
         mgr = self._get_best_mgr()
+        # Async: save() returns after the device→host fetch; the disk write
+        # (seconds at paper scale — measured 15 s for the 530 MB cifar10
+        # state on this box) happens in orbax's background thread.  The
+        # best.json sidecar is only written AFTER orbax commits, so a crash
+        # mid-write can never leave it pointing at a broken snapshot; until
+        # then `_best_pending` stands in for it (see best_info).
         mgr.save(step, args=ocp.args.StandardSave(_to_savable(state)))
-        mgr.wait_until_finished()
-        if jax.process_index() == 0:
-            tmp = self._best_meta_path() + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"step": int(step), "metric": float(metric)}, f)
-            os.replace(tmp, self._best_meta_path())
+        info = {"step": int(step), "metric": float(metric)}
+        self._best_pending = info
+
+        def _commit(info=info):
+            mgr.wait_until_finished()
+            if jax.process_index() != 0:
+                return
+            with self._best_lock:
+                # Out-of-order commit guard: only advance the sidecar.
+                cur = None
+                if os.path.isfile(self._best_meta_path()):
+                    with open(self._best_meta_path()) as f:
+                        cur = json.load(f)
+                if cur is not None and cur["metric"] <= info["metric"]:
+                    return
+                tmp = self._best_meta_path() + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(info, f)
+                os.replace(tmp, self._best_meta_path())
+
+        th = threading.Thread(target=_commit, daemon=False)
+        th.start()
+        self._best_threads.append(th)
         return True
+
+    def _join_best(self) -> None:
+        for th in self._best_threads:
+            th.join()
+        self._best_threads.clear()
 
     def restore_best(self, state_like: Any) -> Any | None:
         """Restore the best-metric snapshot (or None if none was saved)."""
+        self._join_best()
         info = self.best_info()
         if info is None:
             return None
@@ -155,8 +198,10 @@ class CheckpointManager:
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
+        self._join_best()
 
     def close(self) -> None:
+        self._join_best()
         self._mgr.close()
         if self._best_mgr is not None:
             self._best_mgr.close()

@@ -26,7 +26,8 @@ import sys
 import tempfile
 
 
-def child(proc: int, nprocs: int, port: int, out_dir: str) -> None:
+def child(proc: int, nprocs: int, port: int, out_dir: str,
+          local_devices: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -36,7 +37,7 @@ def child(proc: int, nprocs: int, port: int, out_dir: str) -> None:
         process_id=proc,
     )
     assert jax.process_count() == nprocs, jax.process_count()
-    assert len(jax.devices()) == 4 * nprocs, len(jax.devices())
+    assert len(jax.devices()) == local_devices * nprocs, len(jax.devices())
 
     from pytorch_glow_tpu.config import (
         DataConfig, GlowConfig, OptimConfig, Profile, TrainConfig,
@@ -76,10 +77,14 @@ def main() -> int:
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--local-devices", type=int, default=4,
+                    help="virtual CPU devices per process (4-proc x 2-dev "
+                         "proves nothing hardcodes the 2x4 shape)")
     args = ap.parse_args()
 
     if args.proc is not None:
-        child(args.proc, args.nprocs, args.port, args.out_dir)
+        child(args.proc, args.nprocs, args.port, args.out_dir,
+              args.local_devices)
         return 0
 
     with socket.socket() as s:  # pick a free coordinator port
@@ -88,7 +93,8 @@ def main() -> int:
     out_dir = args.out_dir or tempfile.mkdtemp(prefix="mh_smoke_")
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.local_devices}"
     ).strip()
     env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -97,7 +103,7 @@ def main() -> int:
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--proc", str(i),
              "--nprocs", str(args.nprocs), "--port", str(port),
-             "--out-dir", out_dir],
+             "--out-dir", out_dir, "--local-devices", str(args.local_devices)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for i in range(args.nprocs)
@@ -117,7 +123,8 @@ def main() -> int:
     losses = {o["loss"] for o in outs}
     assert len(losses) == 1, f"processes disagree on loss: {outs}"
     assert all(o["resumed"] and o["start_step"] == 6 for o in outs), outs
-    assert all(o["devices"] == 4 * args.nprocs and o["local_devices"] == 4 for o in outs)
+    assert all(o["devices"] == args.local_devices * args.nprocs
+               and o["local_devices"] == args.local_devices for o in outs)
     print(json.dumps({"multihost_smoke": "OK", "procs": outs}))
     return 0
 

@@ -271,3 +271,54 @@ def test_put_global_single_process(eight_devices):
         np.asarray(jax.random.uniform(gkey, (3,))),
         np.asarray(jax.random.uniform(key, (3,))),
     )
+
+
+def test_two_process_preemption_collective_stop():
+    """SIGTERM delivered to ONE of two jax.distributed processes: the
+    trainer's OR-reduced preemption flag (train/trainer._preempt_stop) must
+    stop BOTH at the same step boundary, write the distributed snapshot,
+    and leave a state a second 2-process wave resumes to completion —
+    the only regime where a one-sided break would deadlock the peer."""
+    import json
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "multihost_preempt_smoke.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True, timeout=780,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if "multihost_preempt_smoke" in ln][-1]
+    out = json.loads(line)
+    assert out["multihost_preempt_smoke"] == "OK"
+    assert all(o["preempted"] for o in out["procs"])
+    assert all(o["final_step"] == out["resumed_to"] for o in out["resume"])
+
+
+def test_four_process_two_device_smoke():
+    """4 processes x 2 local devices (same 8-device global mesh as the 2x4
+    smoke): proves nothing in batch assembly, checkpointing, or the mesh
+    layout hardcodes process pairness or 4-device hosts."""
+    import json
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "multihost_smoke.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, script, "--nprocs", "4", "--local-devices", "2"],
+        capture_output=True, text=True, timeout=780,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines() if "multihost_smoke" in ln][-1]
+    out = json.loads(line)
+    assert out["multihost_smoke"] == "OK"
+    assert len(out["procs"]) == 4
