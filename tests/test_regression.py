@@ -85,3 +85,39 @@ def test_golden_nll_values():
     nll = np.asarray(glow.log_prob(params, x, cfg)["nll"])
     golden = np.array([8.15714, 8.21657, 8.1152, 8.17326])
     np.testing.assert_allclose(nll, golden, rtol=1e-3)
+
+
+def test_swd_improves_with_training(tmp_path):
+    """SWD golden band (round-3 verdict #3): the multi-scale sliced
+    Wasserstein between textured reals and T=1.0 samples must drop
+    decisively within 200 tiny-config steps.  Probe on this config
+    measured init 136.5 -> 79.1 at step 200 (2026-08-19); the relative
+    bar catches a broken metric (no discrimination) or broken sampling,
+    the absolute bars catch recalibration drift.  Paper-scale SWD curves
+    (774 @2k -> 34 @6k on the cifar10 preset) live in
+    docs/BENCHMARKING.md."""
+    import jax
+
+    from pytorch_glow_tpu.train import step as steplib
+    from pytorch_glow_tpu.utils.swd import sliced_wasserstein
+
+    p = Profile(
+        name="regress-swd",
+        glow=GlowConfig(image_shape=(16, 16, 3), hidden_channels=32, K=2, L=2),
+        optim=OptimConfig(lr=3e-3, warmup_steps=20),
+        train=TrainConfig(batch_size=32, num_steps=200, scalar_log_gap=100,
+                          plot_gap=0, checkpoint_gap=0, seed=0),
+        data=DataConfig(name="synthetic_textured", image_size=16),
+        out_dir=str(tmp_path),
+    )
+    built = builderlib.build(p)
+    sample = steplib.make_sample_fn(p.glow, 64, 1.0)
+    reals = np.concatenate([np.asarray(next(built.data)["image"])
+                            for _ in range(2)])
+    fake0 = np.asarray(sample(built.state["params"], jax.random.key(7)))
+    swd_init = sliced_wasserstein(reals, fake0, seed=0)["swd_avg"]
+    trainerlib.train(built, quiet=True)
+    fake1 = np.asarray(sample(built.state["params"], jax.random.key(7)))
+    swd_trained = sliced_wasserstein(reals, fake1, seed=0)["swd_avg"]
+    assert 90 < swd_init < 250, swd_init
+    assert swd_trained < 0.75 * swd_init, (swd_init, swd_trained)
