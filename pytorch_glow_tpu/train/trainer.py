@@ -274,6 +274,11 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
             jax.profiler.stop_trace()
         if built.ckpt is not None and not failed:
             built.ckpt.save(step, state, wait=True, data_state=_data_state(built))
+            # Barrier on in-flight ASYNC best saves too: orbax finalization
+            # cannot run during interpreter shutdown ("cannot schedule new
+            # futures after shutdown" — observed losing a final-step best
+            # snapshot on a 20k soak), so drain before the process can exit.
+            built.ckpt.wait()
         logger.close()
 
     built.state = state
