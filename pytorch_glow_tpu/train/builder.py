@@ -187,7 +187,14 @@ def build(
                     for _ in range(start_step + 1):
                         next(data)
                     data_resume = "replay"
-    elif training and data is not None:
+    if resumed and training and t.ema_decay == 0 and "ema" in state:
+        # The snapshot carried an EMA (its run had ema_decay > 0) but this
+        # run doesn't maintain one — the train step would silently drop it
+        # anyway; drop it here so eval/plot don't score never-updated params.
+        print("[build] snapshot has EMA state but train.ema_decay=0; "
+              "continuing without EMA")
+        state = {k: v for k, v in state.items() if k != "ema"}
+    if not resumed and training and data is not None:
         # Data-dependent actnorm init on the first host batch (one jitted
         # depth-scan; replaces the reference's first-forward side effect).
         first = next(data)

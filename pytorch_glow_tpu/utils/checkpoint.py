@@ -132,12 +132,51 @@ class CheckpointManager:
         info = self.best_info()
         if info is None:
             return None
-        mgr = self._get_best_mgr()
-        template = _to_savable(state_like)
-        restored = mgr.restore(
-            int(info["step"]), args=ocp.args.StandardRestore(template)
+        return self._restore_adapted(
+            self._get_best_mgr(), self._best_dir, int(info["step"]), state_like
         )
-        return _from_savable(restored, state_like)
+
+    def _restore_adapted(
+        self, mgr: ocp.CheckpointManager, root: str, step: int, state_like: Any
+    ) -> Any:
+        """Restore `step`, tolerating an EMA-presence mismatch between the
+        snapshot and the caller's state template.
+
+        The `ema` subtree exists iff the RUN that wrote the snapshot had
+        `train.ema_decay > 0` — which the RESTORING profile may not share
+        (e.g. `infer.py` on a soak launched with `--set train.ema_decay=…`,
+        or a preset that gained EMA after old checkpoints were written).
+        Two directions:
+          - disk has `ema`, template doesn't -> restore it anyway (it is
+            structurally the trainable partition of `params`) and return it
+            in the state, so `--ema` inference works without re-declaring
+            the training flag;
+          - template has `ema`, disk doesn't -> restore without it, then
+            seed EMA from the restored trainables (the same semantics as a
+            fresh EMA start at this step).
+        """
+        template = _to_savable(state_like)
+        disk_keys = _disk_top_keys(root, step)
+        seed_ema = False
+        if isinstance(template, dict) and disk_keys is not None:
+            if "ema" in disk_keys and "ema" not in template:
+                from pytorch_glow_tpu.train.step import partition
+
+                template = dict(template)
+                template["ema"] = partition(template["params"])[0]
+            elif "ema" not in disk_keys and "ema" in template:
+                template = {k: v for k, v in template.items() if k != "ema"}
+                seed_ema = True
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        out = _from_savable(restored, state_like)
+        if seed_ema:
+            from pytorch_glow_tpu.train.step import partition
+
+            out = dict(out)
+            out["ema"] = jax.tree.map(
+                lambda x: jax.numpy.copy(x), partition(out["params"])[0]
+            )
+        return out
 
     def save(
         self, step: int, state: Any, wait: bool = False, data_state: Any = None
@@ -192,9 +231,7 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
-        template = _to_savable(state_like)
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
-        return _from_savable(restored, state_like)
+        return self._restore_adapted(self._mgr, self.directory, step, state_like)
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
@@ -241,8 +278,38 @@ def _to_savable(state: Any) -> Any:
     return jax.tree.map(conv, state)
 
 
+def _disk_top_keys(root: str, step: int) -> set | None:
+    """Top-level keys of the pytree stored at `root/step` (None if unknown).
+
+    Uses the orbax item metadata, so no array data is read."""
+    import logging
+
+    path = os.path.join(root, str(step), "default")
+    absl_logger = logging.getLogger("absl")
+    prev_level = absl_logger.level
+    # The item dir has no _CHECKPOINT_METADATA (it lives at the step level);
+    # absl warns about that lookup even though the item metadata reads fine.
+    absl_logger.setLevel(logging.ERROR)
+    try:
+        meta = ocp.StandardCheckpointer().metadata(path)
+        tree = getattr(meta, "item_metadata", meta)
+        return set(tree.keys())
+    except Exception:
+        return None
+    finally:
+        absl_logger.setLevel(prev_level)
+
+
 def _from_savable(restored: Any, state_like: Any) -> Any:
-    """Re-wrap raw key data wherever `state_like` holds a typed key."""
+    """Re-wrap raw key data wherever `state_like` holds a typed key.
+
+    Keys present in `restored` but absent from `state_like` (an `ema`
+    subtree surfaced by `_restore_adapted`) pass through unchanged."""
+    if isinstance(restored, dict) and isinstance(state_like, dict):
+        return {
+            k: _from_savable(v, state_like[k]) if k in state_like else v
+            for k, v in restored.items()
+        }
 
     def conv(like, val):
         if isinstance(like, jax.Array) and jax.dtypes.issubdtype(

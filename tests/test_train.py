@@ -219,6 +219,63 @@ def test_train_eval_saves_best_and_infer_restores_it(tmp_path):
     assert best.resumed and best.start_step == info["step"]
 
 
+def test_restore_tolerates_ema_mismatch_both_ways(tmp_path):
+    """Snapshots and restoring profiles may disagree on EMA presence (a soak
+    launched with `--set train.ema_decay=…` read back by a plain profile, or
+    an EMA-enabled preset resuming pre-EMA checkpoints).  Restore must adapt:
+    surface the on-disk EMA to a no-EMA template, and seed a missing EMA
+    from the restored trainables."""
+    import jax
+
+    from pytorch_glow_tpu.utils.tree import partition
+
+    # Direction 1: checkpoint HAS ema, restoring profile does not.
+    p_ema = micro_profile(tmp_path / "a").replace(
+        train=TrainConfig(batch_size=16, num_steps=4, scalar_log_gap=4,
+                          plot_gap=0, checkpoint_gap=4, eval_gap=4,
+                          eval_batches=1, num_sample_images=4,
+                          ema_decay=0.999),
+    )
+    built = builderlib.build(p_ema)
+    trainerlib.train(built, quiet=True)
+    ema_saved = jax.tree.map(np.asarray, built.state["ema"])
+
+    import dataclasses as _dc
+
+    p_plain = p_ema.replace(train=_dc.replace(p_ema.train, ema_decay=0.0))
+    # Inference keeps the surfaced EMA so `infer.py --ema` works.
+    inf = builderlib.build(p_plain, training=False, with_data=False,
+                           restore="best")
+    assert inf.resumed and "ema" in inf.state
+    got = dict(jax.tree_util.tree_leaves_with_path(inf.state["ema"]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ema_saved):
+        np.testing.assert_array_equal(np.asarray(got[path]), leaf,
+                                      err_msg=jax.tree_util.keystr(path))
+    # A training resume with ema_decay=0 drops it (it would never update).
+    tr = builderlib.build(p_plain)
+    assert tr.resumed and "ema" not in tr.state
+
+    # Direction 2: checkpoint LACKS ema, restoring profile has it ->
+    # EMA seeded from the restored trainables.
+    p_raw = micro_profile(tmp_path / "b").replace(
+        train=TrainConfig(batch_size=16, num_steps=4, scalar_log_gap=4,
+                          plot_gap=0, checkpoint_gap=4),
+    )
+    built_raw = builderlib.build(p_raw)
+    trainerlib.train(built_raw, quiet=True)
+    p_raw_ema = p_raw.replace(train=_dc.replace(p_raw.train, ema_decay=0.999))
+    res = builderlib.build(p_raw_ema)
+    assert res.resumed and "ema" in res.state
+    trainable, _ = partition(res.state["params"])
+    seeded = dict(jax.tree_util.tree_leaves_with_path(res.state["ema"]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(trainable):
+        np.testing.assert_array_equal(
+            np.asarray(seeded[path]), np.asarray(leaf),
+            err_msg=jax.tree_util.keystr(path))
+    # And the resumed run trains on (EMA updates from the seed).
+    trainerlib.train(res, num_steps=8, quiet=True)
+
+
 def test_celebahq256_structure_trains_5bit_L6(tmp_path):
     """Micro mirror of the celebahq256 preset's structure (L=6 multi-scale,
     5-bit images, remat) trained end-to-end: finite loss near the 5-bit
