@@ -214,7 +214,12 @@ PRESETS: dict[str, Profile] = {
         # Held-out eval on: every eval writes eval_nll and the trainer keeps
         # the lowest-bits/dim snapshot in checkpoints-best (model selection
         # for the <=3.4 bits/dim CIFAR-10 north star; docs/REAL_DATA.md).
-        train=TrainConfig(batch_size=256, steps_per_call=5, eval_gap=1000),
+        # EMA on: the round-4 20k-step hardware soak measured Polyak eval
+        # 3.7235 vs raw 3.737 bits/dim at 20k, ahead of raw at EVERY eval
+        # from 4k on (docs/BENCHMARKING.md round-4 A/B); swd_gap logs the
+        # sample-quality trajectory beside the NLL curve.
+        train=TrainConfig(batch_size=256, steps_per_call=5, eval_gap=1000,
+                          ema_decay=0.9999, swd_gap=2000),
         # noam (warmup then inverse-sqrt decay): the round-2 hardware soaks
         # found constant post-warmup lr "reliably diverges" past ~4-6k steps
         # while noam completed 20k steps (docs/BENCHMARKING.md); the 600k-step
@@ -236,8 +241,13 @@ PRESETS: dict[str, Profile] = {
             # residuals need 28.5 GB and OOM; scripts/bench_train.py).
             flowstep_impl="pallas",
         ),
+        # EMA per the round-4 cifar10 soak A/B; temperature-annealed
+        # sampling (BASELINE.json config 3) ramps plot-time temperature
+        # 0 -> 0.7 over the warmup-scale first 4k steps.
         train=TrainConfig(batch_size=128, sample_temperature=0.7,
-                          steps_per_call=5, eval_gap=2000),
+                          steps_per_call=5, eval_gap=2000,
+                          ema_decay=0.9999, swd_gap=2000,
+                          temperature_anneal_steps=4000),
         optim=OptimConfig(schedule="noam"),  # survivable default (see cifar10)
         data=DataConfig(name="celeba", image_size=64),
     ),
@@ -258,7 +268,8 @@ PRESETS: dict[str, Profile] = {
         ),
         # Held-out eval + best-checkpoint tracking ON (round-2 verdict: the
         # ImageNet north-star config must not train blind).
-        train=TrainConfig(batch_size=128, steps_per_call=5, eval_gap=2000),
+        train=TrainConfig(batch_size=128, steps_per_call=5, eval_gap=2000,
+                          ema_decay=0.9999, swd_gap=2000),
         optim=OptimConfig(schedule="noam"),  # survivable default (see cifar10)
         data=DataConfig(name="imagenet64", image_size=64),
     ),
@@ -292,7 +303,8 @@ PRESETS: dict[str, Profile] = {
         # ~220 ms/step, async dispatch keeps the chip fed from one step per
         # call anyway.
         train=TrainConfig(batch_size=64, sample_temperature=0.7,
-                          steps_per_call=1, eval_gap=2000),
+                          steps_per_call=1, eval_gap=2000,
+                          ema_decay=0.9999, swd_gap=2000),
         # lr 1e-4 (not the 64² presets' 1e-3): at 256² the flow is 192 steps
         # deep and training sits at the edge of stability — round-3 soaks
         # measured an oscillatory blow-up (grad-norm doubling per step over

@@ -142,10 +142,21 @@ def main(argv=None) -> dict:
         print(f"[lr_probe] probing from step-{start} checkpoint "
               f"({'best' if args.best else 'latest'})", flush=True)
 
-    def sched(step):
+    # Under grad accumulation (optax.MultiSteps) the inner adam indexes its
+    # schedule by OPTIMIZER steps (one per k micro-batches) while the train
+    # state's `step` counts micro-batches — ramp in optimizer steps and map
+    # the logged lr through s -> s//k so the reported onset lr is the lr the
+    # update actually used, not a point k x further along the ramp.
+    k = max(1, getattr(t, "grad_accum", 1))
+    opt_start, opt_total = start // k, max(1, total // k)
+
+    def sched(opt_step):
         # Exponential ramp lr0 -> lr1 over `total` steps from the probe start.
-        frac = jnp.clip((step - start) / float(total), 0.0, 1.0)
+        frac = jnp.clip((opt_step - opt_start) / float(opt_total), 0.0, 1.0)
         return lr0 * (lr1 / lr0) ** frac
+
+    def log_sched(micro_step):
+        return sched(micro_step // k)
 
     tx = make_optimizer(prof.optim, t, schedule=sched)
     data = pipeline.make_dataset(prof.data, cfg, t)
@@ -160,7 +171,7 @@ def main(argv=None) -> dict:
         )
         state["params"] = glow.ddi_init(state["params"], xf, cfg)
 
-    step_n = steplib.make_train_step_n(cfg, tx, spc, schedule=sched)
+    step_n = steplib.make_train_step_n(cfg, tx, spc, schedule=log_sched)
 
     def stack_batches():
         imgs, labels = [], []
@@ -220,6 +231,7 @@ def main(argv=None) -> dict:
         "profile": prof.name,
         "data": prof.data.name,
         "batch_size": t.batch_size,
+        "grad_accum": k,
         "ramp": [lr0, lr1],
         "steps": total,
         "start_step": start,
