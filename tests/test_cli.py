@@ -397,3 +397,40 @@ def test_lr_probe_from_checkpoint(trained):
                          "--spc", "5", "--min-steps", "10", "--quiet"])
     assert res["start_step"] == 6
     assert res["onset_lr"] is not None and res["onset_step"] > 6
+
+
+def test_lr_probe_ramps_in_optimizer_steps_under_grad_accum(tmp_path):
+    """With grad_accum=k, optax.MultiSteps indexes the lr schedule by
+    OPTIMIZER steps (one per k micro-batches).  The probe must ramp in that
+    unit: if it ramped in micro-steps, the applied lr would top out at
+    lr0*(lr1/lr0)^(1/k) — far below lr1 — and this wildly-unstable ramp
+    would read as a clean run."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "lr_probe", os.path.join(REPO, "scripts", "lr_probe.py")
+    )
+    lr_probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lr_probe)
+
+    prof_path = str(tmp_path / "micro.json")
+    with open(prof_path, "w") as f:
+        json.dump(
+            {
+                "name": "micro",
+                "glow": {"image_shape": [8, 8, 3], "hidden_channels": 16,
+                         "K": 2, "L": 2},
+                "train": {"batch_size": 16, "grad_accum": 4},
+                "data": {"name": "synthetic_textured"},
+            },
+            f,
+        )
+    out = lr_probe.main([prof_path, "--cpu", "--lr0", "1e-4", "--lr1", "5.0",
+                         "--steps", "160", "--spc", "5", "--min-steps", "20",
+                         "--quiet"])
+    assert out["grad_accum"] == 4
+    # The ramp reaches genuinely unstable lr within 160/4 = 40 optimizer
+    # steps, so the blow-up must be detected; a micro-step-indexed ramp
+    # caps the applied lr near 1.5e-3 and stays clean.
+    assert out["onset_lr"] is not None, out
+    assert 1e-4 < out["onset_lr"] <= 5.0
