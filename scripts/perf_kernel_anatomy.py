@@ -174,7 +174,7 @@ def main():
     sp = jax.tree.map(lambda a: a[0], params["levels"][0]["steps"])
     weights = [jnp.asarray(w) for w in fsp.pack_weights(sp, kind, True, False)]
     print(f"device: {jax.devices()[0].device_kind} level-0 {HH}x{WW} c={C} "
-          f"hidden={HIDDEN} b={BATCH} N={N1},{N2}")
+          f"hidden={HIDDEN} b={BATCH} N={N1},{N2}", flush=True)
     ch = C // 2
     flops = 2 * BATCH * HH * WW * (HIDDEN * (9 * ch + HIDDEN + 9 * C) + C * C)
     bound = flops / 197e12
@@ -184,8 +184,8 @@ def main():
         if base is None:
             base = t
         print(f"{variant:12s}: {t*1e6:7.1f} us  ({100*bound/t:5.1f}% MFU, "
-              f"{100*(base-t)/base:+5.1f}% vs full, tile_b={tb})")
-    print(f"bf16 physics bound: {bound*1e6:7.1f} us")
+              f"{100*(base-t)/base:+5.1f}% vs full, tile_b={tb})", flush=True)
+    print(f"bf16 physics bound: {bound*1e6:7.1f} us", flush=True)
 
 
 if __name__ == "__main__":
