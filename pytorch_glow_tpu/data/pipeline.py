@@ -108,6 +108,10 @@ SYNTHETIC_NAMES = {
     "synthetic": "uniform",
     "synthetic_smooth": "smooth",
     "synthetic_textured": "textured",
+    # Measurable binary attributes (data/synth_attrs.py): the offline proof
+    # of the CelebA attribute-delta workflow.  Batches carry "attr" (B, 3)
+    # in ±1, the CelebA convention.
+    "synthetic_attr": "attr",
 }
 
 
@@ -185,6 +189,11 @@ def _synthetic_batch(
         image = np.clip(img, 0, 255).astype(np.uint8)
     elif kind == "textured":
         image = _textured_images(rng, batch_size, h, w, c)
+    elif kind == "attr":
+        from pytorch_glow_tpu.data.synth_attrs import attr_images
+
+        image, attrs = attr_images(rng, batch_size, h, w, c)
+        return {"image": image, "attr": attrs}
     else:
         image = rng.integers(0, 256, size=(batch_size, h, w, c), dtype=np.uint8)
     batch: Batch = {"image": image}

@@ -40,6 +40,12 @@ class CheckpointManager:
         self._best_pending: dict | None = None
         self._best_threads: list[threading.Thread] = []
         self._best_lock = threading.Lock()
+        # Failures from async best-save commit threads: surfaced (logged +
+        # kept on `last_best_error`) at the next _join_best, and the failed
+        # save's _best_pending marker is rolled back so later genuinely
+        # better metrics aren't masked by a save that never landed.
+        self._best_errors: list[Exception] = []
+        self.last_best_error: Exception | None = None
 
     # -- best-checkpoint tracking ---------------------------------------------
 
@@ -100,24 +106,36 @@ class CheckpointManager:
         self._best_pending = info
 
         def _commit(info=info):
-            mgr.wait_until_finished()
-            if jax.process_index() != 0:
-                return
-            with self._best_lock:
-                # Out-of-order commit guard: only advance the sidecar.
-                cur = None
-                if os.path.isfile(self._best_meta_path()):
-                    with open(self._best_meta_path()) as f:
-                        cur = json.load(f)
-                if cur is not None and cur["metric"] <= info["metric"]:
+            try:
+                mgr.wait_until_finished()
+                if jax.process_index() != 0:
                     return
-                tmp = self._best_meta_path() + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(info, f)
-                os.replace(tmp, self._best_meta_path())
+                with self._best_lock:
+                    # Out-of-order commit guard: only advance the sidecar.
+                    cur = None
+                    if os.path.isfile(self._best_meta_path()):
+                        with open(self._best_meta_path()) as f:
+                            cur = json.load(f)
+                    if cur is not None and cur["metric"] <= info["metric"]:
+                        return
+                    tmp = self._best_meta_path() + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(info, f)
+                    os.replace(tmp, self._best_meta_path())
+            except Exception as e:  # disk full, orbax error, ...
+                with self._best_lock:
+                    # Roll back the in-flight marker (unless a newer save
+                    # already replaced it) so best_info stops advertising a
+                    # snapshot that never committed, and record the failure
+                    # for _join_best to surface.
+                    if self._best_pending is info:
+                        self._best_pending = None
+                    self._best_errors.append(e)
 
         th = threading.Thread(target=_commit, daemon=False)
         th.start()
+        # Prune finished commit threads so long runs don't accumulate them.
+        self._best_threads = [t for t in self._best_threads if t.is_alive()]
         self._best_threads.append(th)
         return True
 
@@ -125,6 +143,16 @@ class CheckpointManager:
         for th in self._best_threads:
             th.join()
         self._best_threads.clear()
+        if self._best_errors:
+            import logging
+
+            with self._best_lock:
+                errs, self._best_errors = self._best_errors, []
+            for e in errs:
+                logging.getLogger(__name__).warning(
+                    "async best-checkpoint save failed: %r", e
+                )
+            self.last_best_error = errs[-1]
 
     def restore_best(self, state_like: Any) -> Any | None:
         """Restore the best-metric snapshot (or None if none was saved)."""
@@ -132,9 +160,24 @@ class CheckpointManager:
         info = self.best_info()
         if info is None:
             return None
-        return self._restore_adapted(
-            self._get_best_mgr(), self._best_dir, int(info["step"]), state_like
-        )
+        mgr = self._get_best_mgr()
+        step = int(info["step"])
+        if step not in set(mgr.all_steps()):
+            # A hard kill between orbax finalization and the sidecar write
+            # (or a failed async save with a stale sidecar) can leave
+            # best.json pointing at a step that is not on disk; degrade to
+            # the newest committed best snapshot instead of raising.
+            fallback = mgr.latest_step()
+            if fallback is None:
+                return None
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "best.json points at step %d (not on disk); restoring the "
+                "newest committed best snapshot, step %d", step, fallback,
+            )
+            step = int(fallback)
+        return self._restore_adapted(mgr, self._best_dir, step, state_like)
 
     def _restore_adapted(
         self, mgr: ocp.CheckpointManager, root: str, step: int, state_like: Any

@@ -10,12 +10,16 @@ for the disk write by design so best.json never points at an uncommitted
 snapshot).
 
 Prints one JSON object:
-  save_return_s   time save() blocks the loop (D2H fetch + enqueue)
-  drain_s         remaining background write after save() returns
-  best_save_s     maybe_save_best() wall (fetch + write + fsync barrier)
-  state_mb        bytes in the train state (params + opt + ema)
-  stall_pct       save_return_s as % of checkpoint_gap's step time, using
-                  --imgs-per-sec (the preset's measured steady rate)
+  save_return_s       time save() blocks the loop (D2H fetch + enqueue)
+  drain_s             remaining background write after save() returns
+  best_save_return_s  time maybe_save_best() blocks the loop — best saves
+                      are ALSO async now (the best.json sidecar commits in
+                      a background thread after orbax finalizes)
+  best_save_total_s   full wall of the best save incl. the background disk
+                      write + sidecar commit (maybe_save_best + wait)
+  state_mb            bytes in the train state (params + opt + ema)
+  stall_pct           save_return_s as % of checkpoint_gap's step time,
+                      using --imgs-per-sec (the preset's measured rate)
 
 Usage:
   python scripts/ckpt_stall_ab.py cifar10 --imgs-per-sec 3700
@@ -81,7 +85,9 @@ def main() -> int:
         rows.append({"save_return_s": t1 - t0, "drain_s": t2 - t1})
     t0 = time.perf_counter()
     mgr.maybe_save_best(999, state, metric=1.0)
-    best_s = time.perf_counter() - t0
+    best_return_s = time.perf_counter() - t0
+    mgr.wait()
+    best_total_s = time.perf_counter() - t0
     mgr.close()
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -94,7 +100,8 @@ def main() -> int:
         "state_mb": round(state_bytes / 1e6, 1),
         "save_return_s": round(save_s, 3),
         "drain_s": round(min(r["drain_s"] for r in steady), 3),
-        "best_save_s": round(best_s, 3),
+        "best_save_return_s": round(best_return_s, 3),
+        "best_save_total_s": round(best_total_s, 3),
         "reps": rows,
     }
     if args.imgs_per_sec:

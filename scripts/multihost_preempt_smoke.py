@@ -33,6 +33,11 @@ import time
 
 
 def child(proc: int, nprocs: int, port: int, out_dir: str, num_steps: int) -> None:
+    from _smoke_common import install_child_watchdog
+
+    install_child_watchdog()  # die with the parent; bounded wall-clock —
+    # the 100k-step default otherwise spins for hours if the parent is
+    # SIGKILLed before delivering the preemption signal.
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -92,13 +97,13 @@ def _spawn(nprocs: int, out_dir: str, num_steps: int):
 
 
 def _collect(procs):
+    from _smoke_common import communicate_all
+
     outs, ok = [], True
-    for i, pr in enumerate(procs):
-        stdout, stderr = pr.communicate(timeout=900)
-        if pr.returncode != 0:
+    for i, (rc, stdout, stderr) in enumerate(communicate_all(procs, 900)):
+        if rc != 0:
             ok = False
-            print(f"[proc {i}] rc={pr.returncode}\n{stderr[-3000:]}",
-                  file=sys.stderr)
+            print(f"[proc {i}] rc={rc}\n{stderr[-3000:]}", file=sys.stderr)
             continue
         line = [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
         outs.append(json.loads(line))

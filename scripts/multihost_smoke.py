@@ -28,6 +28,9 @@ import tempfile
 
 def child(proc: int, nprocs: int, port: int, out_dir: str,
           local_devices: int) -> None:
+    from _smoke_common import install_child_watchdog
+
+    install_child_watchdog()  # die with the parent; bounded wall-clock
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -108,13 +111,14 @@ def main() -> int:
         )
         for i in range(args.nprocs)
     ]
+    from _smoke_common import communicate_all
+
     outs = []
     ok = True
-    for i, pr in enumerate(procs):
-        stdout, stderr = pr.communicate(timeout=900)
-        if pr.returncode != 0:
+    for i, (rc, stdout, stderr) in enumerate(communicate_all(procs, 900)):
+        if rc != 0:
             ok = False
-            print(f"[proc {i}] rc={pr.returncode}\n{stderr[-3000:]}", file=sys.stderr)
+            print(f"[proc {i}] rc={rc}\n{stderr[-3000:]}", file=sys.stderr)
             continue
         line = [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
         outs.append(json.loads(line))

@@ -170,6 +170,7 @@ def test_spatial_sharding_noop_without_mesh():
     assert np.isfinite(np.asarray(out["nll"])).all()
 
 
+@pytest.mark.multiprocess
 def test_two_process_multihost_smoke():
     """REAL jax.distributed multi-process path (not virtual devices): two
     processes x 4 CPU devices form one 8-device global mesh; verifies
@@ -196,6 +197,7 @@ def test_two_process_multihost_smoke():
     assert len(out["procs"]) == 2
 
 
+@pytest.mark.multiprocess
 def test_two_process_grain_sharding_smoke():
     """Grain under REAL jax.process_count() == 2 (round-2 verdict missing
     #4): an on-disk CIFAR-format source read through grain.ShardOptions —
@@ -222,6 +224,7 @@ def test_two_process_grain_sharding_smoke():
     assert out["per_proc_records"] == [40, 40]
 
 
+@pytest.mark.multiprocess
 def test_two_process_tfrecord_sharding_smoke():
     """The pure-Python TFRecord reader (data/tfrecord.py) under REAL
     jax.process_count() == 2: tfds-style shards written by TensorFlow in
@@ -273,6 +276,7 @@ def test_put_global_single_process(eight_devices):
     )
 
 
+@pytest.mark.multiprocess
 def test_two_process_preemption_collective_stop():
     """SIGTERM delivered to ONE of two jax.distributed processes: the
     trainer's OR-reduced preemption flag (train/trainer._preempt_stop) must
@@ -300,6 +304,7 @@ def test_two_process_preemption_collective_stop():
     assert all(o["final_step"] == out["resumed_to"] for o in out["resume"])
 
 
+@pytest.mark.multiprocess
 def test_four_process_two_device_smoke():
     """4 processes x 2 local devices (same 8-device global mesh as the 2x4
     smoke): proves nothing in batch assembly, checkpointing, or the mesh

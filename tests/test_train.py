@@ -202,6 +202,67 @@ def test_best_checkpoint_tracks_min_metric(tmp_path):
     ckpt2.close()
 
 
+def test_best_save_failure_rolls_back_pending(tmp_path):
+    """A failed async best save must not poison the tracker: the in-flight
+    _best_pending marker is rolled back (so later genuinely-better metrics
+    still save), the error is surfaced on last_best_error, and a subsequent
+    healthy save commits normally (round-4 ADVICE, severity medium)."""
+    from pytorch_glow_tpu.utils.checkpoint import CheckpointManager
+
+    state = {"w": np.arange(4.0), "step": np.array(0, np.int32)}
+    ckpt = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    best_mgr = ckpt._get_best_mgr()
+    orig_wait = best_mgr.wait_until_finished
+
+    def flaky_wait():
+        import threading as th
+
+        # orbax's save() also calls wait_until_finished (from the main
+        # thread); only the commit THREAD's barrier simulates the failure.
+        if th.current_thread() is th.main_thread():
+            return orig_wait()
+        raise RuntimeError("simulated disk-full during best save")
+
+    best_mgr.wait_until_finished = flaky_wait
+    try:
+        assert ckpt.maybe_save_best(10, state, 3.0)
+        ckpt._join_best()  # commit thread fails here
+    finally:
+        best_mgr.wait_until_finished = orig_wait
+    assert ckpt.last_best_error is not None
+    assert ckpt._best_pending is None  # rolled back, not masking
+    # best.json was never written, and the failure is not sticky: a WORSE
+    # metric than the failed save's must still be accepted now.
+    assert ckpt.maybe_save_best(20, {**state, "step": np.array(20, np.int32)}, 3.5)
+    ckpt._join_best()
+    assert ckpt.best_info() == {"step": 20, "metric": 3.5}
+    restored = ckpt.restore_best(state)
+    assert int(restored["step"]) == 20
+    assert not ckpt._best_threads  # finished commit threads are pruned
+    ckpt.close()
+
+
+def test_restore_best_falls_back_when_sidecar_step_missing(tmp_path):
+    """best.json pointing at a step that is not on disk (hard kill between
+    orbax finalization and the sidecar write, or rotation) must degrade to
+    the newest committed best snapshot instead of raising."""
+    import json as jsonlib
+
+    from pytorch_glow_tpu.utils.checkpoint import CheckpointManager
+
+    state = {"w": np.arange(4.0), "step": np.array(0, np.int32)}
+    ckpt = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    assert ckpt.maybe_save_best(10, {**state, "step": np.array(10, np.int32)}, 3.0)
+    ckpt.wait()
+    # Simulate the crash window: sidecar references a step orbax never kept.
+    meta = ckpt._best_meta_path()
+    with open(meta, "w") as f:
+        jsonlib.dump({"step": 999, "metric": 2.0}, f)
+    restored = ckpt.restore_best(state)
+    assert restored is not None and int(restored["step"]) == 10
+    ckpt.close()
+
+
 def test_train_eval_saves_best_and_infer_restores_it(tmp_path):
     """eval_gap training records a best snapshot; build(restore="best")
     loads it (the one-command real-data model-selection path)."""
