@@ -54,7 +54,7 @@ def parse_args(argv=None):
                    metavar="SEC.KEY=VAL",
                    help="override any profile field (same as train.py --set)")
     p.add_argument("--synthetic", nargs="?", const="uniform", default=None,
-                   choices=["uniform", "smooth", "textured"],
+                   choices=["uniform", "smooth", "textured", "attr"],
                    help="force synthetic data (same families as train.py)")
     p.add_argument("--delta", default=None, help="path to attribute-delta .npz")
     p.add_argument("--attr", type=int, default=0, help="attribute index")
@@ -317,6 +317,50 @@ def main(argv=None):
         interp = inferer.interpolate(imgs[0], imgs[1], steps=args.steps)
         save_image_grid(os.path.join(out_dir, "interpolate.png"), interp,
                         ncol=args.steps)
+
+        if "attr" in batch or "label" in batch:
+            # Attribute-manipulation demo: delta over --batches batches, then
+            # one grid per attribute (rows = images, cols = strength ladder).
+            # On synthetic_attr the closed-form detectors also score the edit
+            # (data/synth_attrs.py), making the demo quantitative.
+            strengths = [-1.5, -0.75, 0.0, 0.75, 1.5]
+            it = itertools.chain([batch], built.data)
+            try:
+                delta = inferer.compute_attribute_delta(it, num_batches=args.batches)
+            except ValueError as e:  # labels without a usable y_classes
+                report["manipulate"] = {"error": str(e)}
+                delta = None
+            if delta is not None:
+                Inferer.save_attribute_delta(
+                    os.path.join(out_dir, "delta.npz"), delta)
+                n_show = min(4, imgs.shape[0])
+                report["manipulate"] = {"strengths": strengths,
+                                        "num_attributes": int(delta.shape[0])}
+                detect = None
+                if prof.data.name == "synthetic_attr":
+                    from pytorch_glow_tpu.data.synth_attrs import (
+                        ATTR_NAMES, measure_attributes)
+
+                    detect, scores = measure_attributes, {}
+                for ai in range(min(delta.shape[0], 8)):
+                    cols = [inferer.manipulate(imgs[:n_show], delta, ai, s)
+                            for s in strengths]
+                    grid = np.stack(cols, 1).reshape(-1, *imgs.shape[1:])
+                    save_image_grid(
+                        os.path.join(out_dir, f"manipulate_attr{ai}.png"),
+                        grid, ncol=len(strengths))
+                    if detect is not None:
+                        base = detect(cols[strengths.index(0.0)])
+                        scores[ATTR_NAMES[ai]] = {
+                            f"{s:+.2f}": [round(v, 2) for v in
+                                          (detect(c) - base).mean(0)]
+                            for s, c in zip(strengths, cols)
+                        }
+                if detect is not None:
+                    # scores[attr][strength] = mean detector movement vs s=0
+                    # for [bright, red_tint, center_disk] — the target entry
+                    # should move ~linearly with s, the others stay near 0.
+                    report["manipulate"]["detector_dscore"] = scores
 
         sums = {"corner": 0.0, "elbo1": 0.0, "iwae8": 0.0}
         count = 0

@@ -29,10 +29,10 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--out-dir", default=None, help="override output directory")
     p.add_argument("--synthetic", nargs="?", const="uniform", default=None,
-                   choices=["uniform", "smooth", "textured"],
+                   choices=["uniform", "smooth", "textured", "attr"],
                    help="force synthetic data (optionally pick the family: "
-                        "uniform noise, smooth gradients, or multi-scale "
-                        "textures + shapes)")
+                        "uniform noise, smooth gradients, multi-scale "
+                        "textures + shapes, or measurable binary attributes)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SEC.KEY=VAL",
                    help="override any profile field, e.g. --set optim.lr=2e-4 "
@@ -79,6 +79,7 @@ def resolve_profile(args):
             "uniform": "synthetic",
             "smooth": "synthetic_smooth",
             "textured": "synthetic_textured",
+            "attr": "synthetic_attr",
         }[args.synthetic]
     if data_over:
         prof = prof.replace(data=dataclasses.replace(prof.data, **data_over))
