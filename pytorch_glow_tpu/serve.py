@@ -238,6 +238,30 @@ def export_artifact(
 # ---------------------------------------------------------------------------
 
 
+def _warm_ffi_targets() -> None:
+    """Register XLA:CPU LAPACK FFI handlers before running deserialized
+    StableHLO.  jax 0.9.0 registers `lapack_*_ffi` custom-call targets
+    lazily, when a linalg op is TRACED in-process — a model-code-free
+    serving process that only deserializes and calls an export whose graph
+    contains one (our decode path lowers the LU invconv's reverse as
+    `lapack_strsm_ffi` on CPU) SIGSEGVs through the unregistered target.
+    Tracing tiny solves here (never executed) makes registration explicit.
+    Harmless on TPU, where the solve lowers natively and the targets go
+    unused."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        from jax.lax import linalg as lxl
+
+        a = jnp.eye(2)
+        jax.jit(lambda m: lxl.triangular_solve(m, a, left_side=True,
+                                               lower=True)).lower(a)
+        jax.jit(lxl.lu).lower(a)
+        jax.jit(lambda m: lxl.qr(m, full_matrices=False)).lower(a)
+    except Exception:  # registration warmup must never block serving
+        pass
+
+
 class ServedModel:
     """Callable view over an exported artifact directory.
 
@@ -257,6 +281,7 @@ class ServedModel:
         self.batch_size = self.manifest["batch_size"]
         self._fns: dict = {}
         self._mesh = None
+        _warm_ffi_targets()
 
     @property
     def functions(self) -> list[str]:

@@ -10,11 +10,35 @@ bench reruns, infer on a trained model) skip recompilation.
 Env controls:
 * `GLOW_COMPILE_CACHE=0` disables entirely.
 * `JAX_COMPILATION_CACHE_DIR=<dir>` — JAX's own knob wins untouched.
+
+The cache lives under a per-host-CPU fingerprint subdirectory: XLA:CPU AOT
+executables bake in the compiling machine's feature set (avx512 etc.), and
+JAX's cache key does NOT include host CPU features — loading an entry
+compiled on a different machine SIGSEGVs at dispatch (observed round 5:
+round-4 cache entries crashed `infer.py serve` on this round's host with
+cpu_aot_loader feature-mismatch errors).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_fingerprint() -> str:
+    """Stable id for (jax version, host CPU feature set)."""
+    import jax
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        import platform
+
+        flags = platform.processor() or platform.machine()
+    key = f"{jax.__version__}|{flags.strip()}"
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
 
 
 def enable_compile_cache() -> str | None:
@@ -29,7 +53,8 @@ def enable_compile_cache() -> str | None:
     if jax.config.jax_compilation_cache_dir:
         return None  # something else (e.g. tests/conftest.py) configured it
     path = os.path.join(
-        os.path.expanduser("~/.cache"), "pytorch_glow_tpu", "jax_cache"
+        os.path.expanduser("~/.cache"), "pytorch_glow_tpu", "jax_cache",
+        _host_fingerprint(),
     )
     try:
         os.makedirs(path, exist_ok=True)
