@@ -136,6 +136,17 @@ class TrainConfig:
     profile_step: int = 0  # start a jax.profiler trace at this step (0 = off)
     profile_num_steps: int = 3
     debug_nans: bool = False  # jax_debug_nans for debug runs
+    # Step-liveness watchdog (SURVEY.md §5 failure recovery; field-motivated:
+    # a tunneled-TPU RPC wedged mid-dispatch for 50+ min on a round-5 soak —
+    # the dispatch never returns, so neither the SIGTERM handler (main thread
+    # stuck in C) nor --retries (same process = same wedged client) can act).
+    # If the train loop makes no progress for this many seconds AFTER the
+    # first completed step, a watchdog thread abandons the process: exit
+    # code 17, or under `train.py --retries N` an in-place re-exec (fresh
+    # device client) resuming from the latest snapshot, up to N times.
+    # 0 disables.  Keep it far above the slowest legitimate loop boundary
+    # (first eval/plot jit compiles take minutes on remote Mosaic).
+    step_timeout_s: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -219,7 +230,8 @@ PRESETS: dict[str, Profile] = {
         # from 4k on (docs/BENCHMARKING.md round-4 A/B); swd_gap logs the
         # sample-quality trajectory beside the NLL curve.
         train=TrainConfig(batch_size=256, steps_per_call=5, eval_gap=1000,
-                          ema_decay=0.9999, swd_gap=2000),
+                          ema_decay=0.9999, swd_gap=2000,
+                          step_timeout_s=1800.0),
         # noam (warmup then inverse-sqrt decay): the round-2 hardware soaks
         # found constant post-warmup lr "reliably diverges" past ~4-6k steps
         # while noam completed 20k steps (docs/BENCHMARKING.md); the 600k-step
@@ -247,7 +259,8 @@ PRESETS: dict[str, Profile] = {
         train=TrainConfig(batch_size=128, sample_temperature=0.7,
                           steps_per_call=5, eval_gap=2000,
                           ema_decay=0.9999, swd_gap=2000,
-                          temperature_anneal_steps=4000),
+                          temperature_anneal_steps=4000,
+                          step_timeout_s=1800.0),
         optim=OptimConfig(schedule="noam"),  # survivable default (see cifar10)
         data=DataConfig(name="celeba", image_size=64),
     ),
@@ -269,7 +282,8 @@ PRESETS: dict[str, Profile] = {
         # Held-out eval + best-checkpoint tracking ON (round-2 verdict: the
         # ImageNet north-star config must not train blind).
         train=TrainConfig(batch_size=128, steps_per_call=5, eval_gap=2000,
-                          ema_decay=0.9999, swd_gap=2000),
+                          ema_decay=0.9999, swd_gap=2000,
+                          step_timeout_s=1800.0),
         optim=OptimConfig(schedule="noam"),  # survivable default (see cifar10)
         data=DataConfig(name="imagenet64", image_size=64),
     ),
@@ -304,7 +318,8 @@ PRESETS: dict[str, Profile] = {
         # call anyway.
         train=TrainConfig(batch_size=64, sample_temperature=0.7,
                           steps_per_call=1, eval_gap=2000,
-                          ema_decay=0.9999, swd_gap=2000),
+                          ema_decay=0.9999, swd_gap=2000,
+                          step_timeout_s=1800.0),
         # lr 1e-4 (not the 64² presets' 1e-3): at 256² the flow is 192 steps
         # deep and training sits at the edge of stability — round-3 soaks
         # measured an oscillatory blow-up (grad-norm doubling per step over

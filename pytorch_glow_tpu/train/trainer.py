@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import signal
+import sys
 import threading
 import time
 
@@ -45,6 +46,84 @@ def _preempt_stop(preempt: dict, step: int, log_gap: int) -> bool:
         np.asarray(1 if preempt["sig"] is not None else 0, np.int32)
     )
     return bool(np.any(flags))
+
+
+WEDGE_EXIT_CODE = 17  # distinct from crash codes so supervisors can tell
+_WEDGE_BUDGET_ENV = "GLOW_WEDGE_RESTART_BUDGET"
+
+
+class _StepWatchdog:
+    """Liveness watchdog for wedged device dispatches (SURVEY.md §5 failure
+    recovery; no reference counterpart).
+
+    Field-motivated: on tunneled TPUs a device RPC can wedge mid-dispatch
+    and never return (observed 50+ min on a round-5 soak).  Nothing
+    Python-level can recover in-process: the SIGTERM handler only runs
+    between main-thread bytecodes (never, while the main thread is stuck in
+    a C call), and `--retries` would reuse the same wedged client.  A fresh
+    process with a fresh client was verified to reach the chip while the
+    wedged one hung, so the recovery unit is the PROCESS:
+
+    - `beat()` is called once per loop iteration; the watchdog thread arms
+      at the second beat (the first iteration pays the jit compile, which
+      can legitimately take many minutes on remote Mosaic).
+    - If no beat lands for `timeout_s`, the watchdog prints a diagnostic
+      and (a) re-execs the process when a restart budget is available
+      (`train.py --retries N` exports GLOW_WEDGE_RESTART_BUDGET; the
+      re-exec'd run resumes from the latest rolling snapshot), else
+      (b) exits with WEDGE_EXIT_CODE for an external supervisor.  Under
+      multi-process training it always exits — a one-sided re-exec would
+      desynchronize the collective mesh; the cluster manager owns restarts.
+    """
+
+    def __init__(self, timeout_s: float, poll_s: float | None = None):
+        self.timeout_s = timeout_s
+        self.poll_s = poll_s if poll_s is not None else min(10.0, max(0.5, timeout_s / 10))
+        self._last = time.monotonic()
+        self._beats = 0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def beat(self) -> None:
+        self._beats += 1
+        self._last = time.monotonic()
+        if self._beats == 2 and self._thread is None:
+            self._thread = threading.Thread(
+                target=self._watch, daemon=True, name="glow-step-watchdog"
+            )
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _watch(self) -> None:
+        while not self._stop.wait(self.poll_s):
+            stale = time.monotonic() - self._last
+            if stale > self.timeout_s:
+                sys.stderr.write(
+                    f"[train] step-liveness watchdog: no progress for "
+                    f"{stale:.0f}s (> {self.timeout_s:.0f}s) after "
+                    f"{self._beats} loop beats — device dispatch presumed "
+                    f"wedged; abandoning this process (latest rolling "
+                    f"snapshot is the resume point)\n"
+                )
+                sys.stderr.flush()
+                self._die()
+                return
+
+    def _die(self) -> None:
+        if jax.process_count() == 1:
+            budget = int(os.environ.get(_WEDGE_BUDGET_ENV, "0") or 0)
+            if budget > 0:
+                os.environ[_WEDGE_BUDGET_ENV] = str(budget - 1)
+                sys.stderr.write(
+                    f"[train] watchdog re-exec (fresh device client; "
+                    f"{budget - 1} restart(s) left): "
+                    f"{sys.executable} {' '.join(sys.argv)}\n"
+                )
+                sys.stderr.flush()
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+        os._exit(WEDGE_EXIT_CODE)
 
 
 def _data_state(built: Built):
@@ -90,8 +169,14 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
             signal.SIGTERM, lambda signum, frame: preempt.__setitem__("sig", signum)
         )
 
+    watchdog = None
+    if t.step_timeout_s:
+        watchdog = _StepWatchdog(t.step_timeout_s)
+
     try:
         while step < num_steps:
+            if watchdog is not None:
+                watchdog.beat()
             if _preempt_stop(preempt, step, t.scalar_log_gap):
                 stopped_early = True
                 if not quiet:
@@ -268,6 +353,12 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
         failed = True
         raise
     finally:
+        if watchdog is not None:
+            # The final snapshot below may itself block on the device; a
+            # wedge there must still fire, so only the thread's poll keeps
+            # running — but a CLEAN exit must not trip it mid-save, hence
+            # one last beat before the (bounded-work) teardown.
+            watchdog.beat()
         if in_main:
             signal.signal(signal.SIGTERM, prev_handler or signal.SIG_DFL)
         if profiling:
@@ -279,6 +370,8 @@ def train(built: Built, num_steps: int | None = None, quiet: bool = False) -> di
             # futures after shutdown" — observed losing a final-step best
             # snapshot on a 20k soak), so drain before the process can exit.
             built.ckpt.wait()
+        if watchdog is not None:
+            watchdog.stop()  # teardown done; don't police the caller
         logger.close()
 
     built.state = state

@@ -236,3 +236,4 @@ def profile_to_dict(p: Profile) -> dict[str, Any]:
 def save_profile(path: str, p: Profile) -> None:
     with open(path, "w") as f:
         json.dump(profile_to_dict(p), f, indent=2, default=list)
+        f.write("\n")

@@ -108,6 +108,12 @@ def main(argv=None):
     from pytorch_glow_tpu.train.builder import build
     from pytorch_glow_tpu.train.trainer import train
 
+    # The step-liveness watchdog (train.step_timeout_s) recovers wedged
+    # device dispatches by RE-EXEC (a fresh process gets a fresh client);
+    # --retries is its restart budget too.  setdefault: a re-exec'd run
+    # keeps its decremented budget instead of resetting it.
+    os.environ.setdefault("GLOW_WEDGE_RESTART_BUDGET", str(args.retries))
+
     attempts = args.retries + 1
     last_exc = None
     for attempt in range(attempts):
