@@ -38,6 +38,50 @@ import sys
 import time
 
 
+# The most recent completed hardware measurement of this exact benchmark,
+# carried in every error record so a wedged tunnel can't erase the perf
+# record.
+_LAST_KNOWN_HARDWARE = {
+    "value": 2225.4,
+    "mfu": 0.747,
+    "date": "2026-08-19",
+    "note": "BENCH_r04.json (driver-run, median of 3 in-process reps, "
+            "spread <0.2%, TPU v5e); round-3 measured 2230.7 on the same "
+            "config — see docs/BENCHMARKING.md",
+}
+
+
+def _error_json(msg: str) -> str:
+    return json.dumps({
+        "metric": "images/sec/chip",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": msg,
+        "last_known_hardware": _LAST_KNOWN_HARDWARE,
+    })
+
+
+def _arm_run_watchdog(timeout_s: float):
+    """Whole-run liveness bound.  Device dispatches through the tunnel can
+    wedge MID-RUN too (observed round 5: a train dispatch hung 50+ min with
+    the process alive) — and a blocked main thread cannot be interrupted by
+    signals, so a daemon timer prints the error record and hard-exits."""
+    import threading
+
+    def fire():
+        print(_error_json(
+            f"bench did not complete within {timeout_s:.0f}s — device "
+            f"dispatch presumed wedged mid-run (tunneled TPU; see "
+            f"docs/BENCHMARKING.md / CLAUDE.md gotchas)"), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def _init_backend_bounded(timeout_s: float = 600.0):
     """jax backend init, bounded.  The tunneled TPU's client creation can
     WEDGE indefinitely (observed: >1.5 h of hangs after the remote side got
@@ -53,34 +97,27 @@ def _init_backend_bounded(timeout_s: float = 600.0):
     th.start()
     th.join(timeout_s)
     if not box:
-        print(json.dumps({
-            "metric": "images/sec/chip",
-            "value": None,
-            "unit": "images/sec/chip",
-            "vs_baseline": None,
-            "error": f"backend init did not complete within {timeout_s:.0f}s "
-                     "(tunneled TPU client creation wedged; see "
-                     "docs/BENCHMARKING.md / CLAUDE.md gotchas)",
-            # The most recent completed hardware measurement of this exact
-            # benchmark, so a wedged tunnel doesn't erase the perf record.
-            "last_known_hardware": {
-                "value": 2232.0,
-                "mfu": 0.749,
-                "date": "2026-08-17",
-                "note": "median of 3 in-process reps, spread <0.1%, TPU v5e "
-                        "(ROUND3.md / docs/BENCHMARKING.md 'Round-3 MFU-gap "
-                        "anatomy'); BENCH_r02.json recorded 2233.21 by the "
-                        "driver on the same config",
-            },
-        }))
+        print(_error_json(
+            f"backend init did not complete within {timeout_s:.0f}s "
+            "(tunneled TPU client creation wedged; see "
+            "docs/BENCHMARKING.md / CLAUDE.md gotchas)"))
         sys.exit(1)
     return box[0]
 
 
 def main() -> None:
+    if os.environ.get("BENCH_PLATFORM"):
+        # Test/CI hook: this box's boot hook force-selects the tunneled TPU
+        # over JAX_PLATFORMS; only a post-import config update wins.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     from pytorch_glow_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    run_watchdog = _arm_run_watchdog(
+        float(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+    )
     _init_backend_bounded()
     import jax
     import jax.numpy as jnp
@@ -207,6 +244,7 @@ def main() -> None:
             "baseline": "torch-CPU parity impl (see BASELINE.md; upstream publishes no numbers)",
         },
     }
+    run_watchdog.cancel()
     print(json.dumps(result))
 
 
