@@ -153,6 +153,13 @@ def main(argv=None):
     built = build(prof, training=False, with_data=args.op not in ("sample", "export"),
                   restore="best" if args.best else "latest")
     if not built.resumed:
+        if args.best:
+            # A fresh init can never be the "best" snapshot of anything —
+            # scoring it silently once produced garbage report numbers when
+            # --out-dir pointed one level too deep (build() appends
+            # profile.name).  Fail loudly instead.
+            sys.exit(f"error: --best requested but no checkpoint found under "
+                     f"{os.path.join(prof.out_dir, prof.name)}")
         print("[infer] warning: no checkpoint found — using fresh (DDI-less) params",
               file=sys.stderr)
     params = built.state["params"]

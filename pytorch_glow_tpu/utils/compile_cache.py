@@ -24,20 +24,38 @@ from __future__ import annotations
 import hashlib
 import os
 
+_CPUINFO = "/proc/cpuinfo"  # test seam
+
 
 def _host_fingerprint() -> str:
-    """Stable id for (jax version, host CPU feature set)."""
+    """Stable id for (jax version, host CPU identity + feature set).
+
+    The `flags` line alone is NOT enough: LLVM derives tuning features
+    (`prefer-no-gather`/`prefer-no-scatter` — Skylake-era mitigation
+    preferences) from the cpuid family/model, so two hosts with identical
+    flags can still disagree on the baked-in AOT feature list (observed
+    round 5: a same-flags VM migration tripped cpu_aot_loader mismatch
+    warnings on every cached entry).  Key on the identity lines too.
+    """
     import jax
 
-    flags = ""
+    ident = ""
     try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        with open(_CPUINFO) as f:
+            want = ("vendor_id", "cpu family", "model", "model name",
+                    "stepping", "flags")
+            lines = []
+            for ln in f:
+                if not ln.strip():
+                    break  # first processor block only; all cores match
+                if ln.split(":")[0].strip() in want:
+                    lines.append(ln.strip())
+            ident = "|".join(lines)
     except OSError:
         import platform
 
-        flags = platform.processor() or platform.machine()
-    key = f"{jax.__version__}|{flags.strip()}"
+        ident = platform.processor() or platform.machine()
+    key = f"{jax.__version__}|{ident}"
     return hashlib.sha256(key.encode()).hexdigest()[:12]
 
 

@@ -69,6 +69,17 @@ def test_infer_sample(trained, tmp_path):
     assert os.path.getsize(png) > 0
 
 
+def test_infer_best_without_checkpoint_errors(trained, tmp_path):
+    """`--best` on an out-dir with no checkpoints must fail loudly instead of
+    silently scoring a fresh init (a mis-pointed --out-dir once produced
+    garbage report numbers; infer.py now sys.exits)."""
+    prof, out, root = trained
+    empty = str(tmp_path / "empty_out")
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        _run_infer(["sample", prof, "-n", "2", "--best",
+                    "--out-dir", empty, "-o", str(tmp_path / "x.png")])
+
+
 def test_infer_recon(trained, tmp_path):
     prof, out, root = trained
     png = str(tmp_path / "r.png")

@@ -285,3 +285,29 @@ def test_compile_cache_helper_respects_existing_config(monkeypatch):
 
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/somewhere")
     assert enable_compile_cache() is None
+
+
+def test_compile_cache_fingerprint_keys_on_cpu_identity(monkeypatch, tmp_path):
+    """The cache fingerprint must distinguish hosts by cpuid IDENTITY
+    (family/model/stepping), not just the flags line: LLVM derives AOT
+    tuning features (prefer-no-gather/scatter) from the model, so two
+    hosts with identical flags can bake incompatible XLA:CPU executables
+    (observed round 5 as cpu_aot_loader feature-mismatch warnings)."""
+    from pytorch_glow_tpu.utils import compile_cache as cc
+
+    flags = "flags\t\t: fpu vme de pse avx avx2 avx512f\n"
+    a = tmp_path / "a.cpuinfo"
+    a.write_text("vendor_id\t: GenuineIntel\ncpu family\t: 6\n"
+                 "model\t\t: 85\nmodel name\t: Xeon A\nstepping\t: 4\n"
+                 + flags + "\nprocessor\t: 1\nmodel\t\t: 99\n")
+    b = tmp_path / "b.cpuinfo"
+    b.write_text("vendor_id\t: GenuineIntel\ncpu family\t: 6\n"
+                 "model\t\t: 106\nmodel name\t: Xeon B\nstepping\t: 6\n"
+                 + flags + "\nprocessor\t: 1\nmodel\t\t: 99\n")
+
+    monkeypatch.setattr(cc, "_CPUINFO", str(a))
+    fa = cc._host_fingerprint()
+    assert fa == cc._host_fingerprint()  # stable
+    monkeypatch.setattr(cc, "_CPUINFO", str(b))
+    fb = cc._host_fingerprint()
+    assert fa != fb  # same flags, different model -> different cache dir
